@@ -1,0 +1,258 @@
+"""Chunk-streaming speech encoder, TPU-native.
+
+Functional re-design of the reference encoder stack (models/encoder/encoder.py,
+transformer.py, attention.py, subsampling.py):
+
+- Conv2dSubsampling4 (two stride-2 3x3 convs + linear) -> 4x time reduction.
+- Pre-LN transformer blocks with relative-positional attention
+  (Transformer-XL style u/v biases, rel_shift dropped, matching
+  attention.py:370-390) over a *sliding window* of keys.
+- The reference keeps a variable-length KV list per layer, concatenating and
+  trimming to `chunk_size*left_chunks` every step (attention.py:415-427). Here
+  the cache is a fixed-shape, right-aligned, time-ordered buffer
+  [L, B, window, H, dk] updated with a static shift+append, so every streaming
+  step compiles once and runs with static shapes; a valid-length scalar masks
+  warmup slots. Because slots stay time-ordered, the streaming positional
+  encoding (pe_index wraparound, attention.py:105-121) reproduces the reference
+  exactly.
+- Layers are scanned (stacked params) rather than Python-looped.
+
+State is an explicit pytree (`EncoderState`) so per-user sessions batch along a
+leading axis in the serving runtime.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EncoderConfig
+from .layers import (NEG_INF, conv2d, conv2d_init, layer_norm, layer_norm_init,
+                     linear, linear_init, masked_softmax, sinusoidal_pe)
+
+
+class EncoderState(NamedTuple):
+    """Per-session streaming state (replaces the reference's `buffer` list of
+    per-layer [K, V] tensors + `pe_index` int, audioLLM.py:377-380)."""
+
+    k_cache: jnp.ndarray  # [L, B, window, H, dk] time-ordered, right-aligned
+    v_cache: jnp.ndarray  # [L, B, window, H, dk]
+    valid: jnp.ndarray    # [] int32 — number of valid cached frames
+    pe_index: jnp.ndarray  # [] int32 — streaming PE cursor
+
+
+def init_state(cfg: EncoderConfig, batch: int = 1, dtype=jnp.float32) -> EncoderState:
+    shape = (cfg.num_blocks, batch, cfg.window, cfg.attention_heads, cfg.head_dim)
+    return EncoderState(
+        k_cache=jnp.zeros(shape, dtype),
+        v_cache=jnp.zeros(shape, dtype),
+        valid=jnp.zeros((), jnp.int32),
+        pe_index=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_params(key, cfg: EncoderConfig, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, 8 + cfg.num_blocks)
+    d = cfg.attention_dim
+    odim = d  # subsampling output dim == attention dim (encoder.py config chain)
+
+    f_sub = ((cfg.input_dim - 1) // 2 - 1) // 2
+    sub = {
+        "conv1": conv2d_init(keys[0], 1, odim, 3, dtype),
+        "conv2": conv2d_init(keys[1], odim, odim, 3, dtype),
+        "out": linear_init(keys[2], odim * f_sub, odim, dtype=dtype),
+    }
+    embed = {
+        "lin": linear_init(keys[3], odim, d, dtype=dtype),
+        "ln": layer_norm_init(d, dtype),
+    }
+
+    def block_init(k):
+        ks = jax.random.split(k, 8)
+        bound = math.sqrt(6.0 / (cfg.attention_heads * cfg.head_dim + cfg.head_dim))
+        return {
+            "ln1": layer_norm_init(d, dtype),
+            "q": linear_init(ks[0], d, d, dtype=dtype),
+            "k": linear_init(ks[1], d, d, dtype=dtype),
+            "v": linear_init(ks[2], d, d, dtype=dtype),
+            "o": linear_init(ks[3], d, d, dtype=dtype),
+            "pos": linear_init(ks[4], d, d, bias=False, dtype=dtype),
+            # xavier-uniform as in attention.py:306-307
+            "bias_u": jax.random.uniform(ks[5], (cfg.attention_heads, cfg.head_dim),
+                                         dtype, -bound, bound),
+            "bias_v": jax.random.uniform(ks[6], (cfg.attention_heads, cfg.head_dim),
+                                         dtype, -bound, bound),
+            "ln2": layer_norm_init(d, dtype),
+            "ffn1": linear_init(ks[7], d, cfg.linear_units, dtype=dtype),
+            "ffn2": linear_init(jax.random.fold_in(ks[7], 1), cfg.linear_units, d,
+                                dtype=dtype),
+        }
+
+    blocks = [block_init(keys[8 + i]) for i in range(cfg.num_blocks)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    return {
+        "sub": sub,
+        "embed": embed,
+        "blocks": stacked,
+        "after_norm": layer_norm_init(d, dtype),
+        "cmvn": {"mean": jnp.zeros((cfg.input_dim,), dtype),
+                 "istd": jnp.ones((cfg.input_dim,), dtype)},
+    }
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+
+def _subsample(params, x):
+    """Conv2dSubsampling4 (subsampling.py:15-73). x: [B, T, F] -> [B, T', d]."""
+    x = x[:, None, :, :]  # [B, 1, T, F]
+    x = jax.nn.relu(conv2d(params["conv1"], x, stride=2))
+    x = jax.nn.relu(conv2d(params["conv2"], x, stride=2))
+    b, c, t, f = x.shape
+    x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, t, c * f)
+    return linear(params["out"], x)
+
+
+def _embed(params, x):
+    """input_layer='linear': Linear + LN + ReLU (transformer.py:186-192)."""
+    return jax.nn.relu(layer_norm(params["ln"], linear(params["lin"], x)))
+
+
+def _rel_attention(bp, x_q, k_all, v_all, pos_emb, mask, cfg: EncoderConfig):
+    """Relative-position MHA over an explicit key buffer.
+
+    x_q: [B, T, d]; k_all/v_all: [B, S, H, dk]; pos_emb: [S, d];
+    mask: [B, 1, T, S] or None. Returns [B, T, d]."""
+    B, T, d = x_q.shape
+    H, dk = cfg.attention_heads, cfg.head_dim
+    q = linear(bp["q"], x_q).reshape(B, T, H, dk)
+    p = linear(bp["pos"], pos_emb).reshape(-1, H, dk)  # [S, H, dk]
+
+    ac = jnp.einsum("bthd,bshd->bhts", q + bp["bias_u"], k_all)
+    bd = jnp.einsum("bthd,shd->bhts", q + bp["bias_v"], p)
+    scores = (ac + bd) / math.sqrt(dk)
+    attn = masked_softmax(scores, mask)
+    out = jnp.einsum("bhts,bshd->bthd", attn, v_all).reshape(B, T, d)
+    return linear(bp["o"], out)
+
+
+def _ffn(bp, x):
+    return linear(bp["ffn2"], jax.nn.relu(linear(bp["ffn1"], x)))
+
+
+# ---------------------------------------------------------------------------
+# batch (training / full-utterance) forward
+# ---------------------------------------------------------------------------
+
+
+def chunk_causal_mask(size: int, chunk_size: int, left_chunks: int) -> jnp.ndarray:
+    """wenet-style subsequent_chunk_mask (models/masks.py:59-123): position i
+    attends to [max(0, (i//cs - left)*cs), ((i//cs)+1)*cs)."""
+    idx = jnp.arange(size)
+    chunk_of = idx // chunk_size
+    lo = jnp.maximum((chunk_of - left_chunks) * chunk_size, 0)
+    hi = (chunk_of + 1) * chunk_size
+    j = idx[None, :]
+    return (j >= lo[:, None]) & (j < hi[:, None])  # [T, T]
+
+
+def forward(params, cfg: EncoderConfig, xs: jnp.ndarray,
+            mask: Optional[jnp.ndarray] = None,
+            apply_cmvn: bool = True) -> jnp.ndarray:
+    """Full-sequence forward (parity with speechEncoder.forward semantics for
+    static chunk masks). xs: [B, T_in, F] raw fbank. Returns [B, T', d]."""
+    if apply_cmvn:
+        xs = (xs - params["cmvn"]["mean"]) * params["cmvn"]["istd"]
+    x = _subsample(params["sub"], xs)
+    x = _embed(params["embed"], x)
+    x = x * math.sqrt(cfg.attention_dim)
+    T = x.shape[1]
+    pos_emb = sinusoidal_pe(jnp.arange(T), cfg.attention_dim)
+    if mask is None:
+        mask = chunk_causal_mask(T, cfg.chunk_size, cfg.left_chunks)
+    mask = mask[None, None] if mask.ndim == 2 else mask
+
+    H, dk = cfg.attention_heads, cfg.head_dim
+
+    def block_fn(x, bp):
+        B = x.shape[0]
+        h = layer_norm(bp["ln1"], x)
+        k = linear(bp["k"], h).reshape(B, T, H, dk)
+        v = linear(bp["v"], h).reshape(B, T, H, dk)
+        x = x + _rel_attention(bp, h, k, v, pos_emb, mask, cfg)
+        x = x + _ffn(bp, layer_norm(bp["ln2"], x))
+        return x, None
+
+    x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+    return layer_norm(params["after_norm"], x)
+
+
+# ---------------------------------------------------------------------------
+# streaming step
+# ---------------------------------------------------------------------------
+
+
+def stream_step(params, cfg: EncoderConfig, xs: jnp.ndarray,
+                state: EncoderState) -> Tuple[jnp.ndarray, EncoderState]:
+    """One streaming chunk. xs: [B, T_in, F] fbank window (e.g. 19 or 32
+    frames); returns ([B, T, d], new state) with T = ((T_in-1)//2 - 1)//2.
+
+    Matches speechEncoder.infer -> Transformer.infer -> MultiHeadedAttention.infer
+    (encoder.py:149-155, transformer.py:266-285, attention.py:407-459): queries
+    attend over cached-window + current chunk with *no* intra-chunk causal mask;
+    the cache then retains the most recent `window` keys."""
+    xs = (xs - params["cmvn"]["mean"]) * params["cmvn"]["istd"]
+    x = _subsample(params["sub"], xs)
+    x = _embed(params["embed"], x)
+    x = x * math.sqrt(cfg.attention_dim)
+
+    B, T, d = x.shape
+    cap = cfg.window
+    S = cap + T
+
+    # --- streaming positional encoding (attention.py:105-121) ---
+    pe_idx = jnp.mod(state.pe_index, cfg.pe_wrap)
+    start = jnp.maximum(0, pe_idx - cfg.full_chunk_size)
+    valid = jnp.minimum(state.valid, cap)
+    # slot s holds key number j = s - (cap - valid); its position is start + j
+    slot = jnp.arange(S)
+    positions = start + slot - (cap - valid)
+    pos_emb = sinusoidal_pe(positions, d)  # [S, d] (invalid rows masked below)
+    keep = (slot >= (cap - valid))  # [S]
+    mask = keep[None, None, None, :]  # [B, H, T, S] broadcast
+
+    H, dk = cfg.attention_heads, cfg.head_dim
+
+    def block_fn(x, inputs):
+        bp, k_cache, v_cache = inputs  # caches: [B, cap, H, dk]
+        h = layer_norm(bp["ln1"], x)
+        k_new = linear(bp["k"], h).reshape(B, T, H, dk)
+        v_new = linear(bp["v"], h).reshape(B, T, H, dk)
+        k_all = jnp.concatenate([k_cache, k_new], axis=1)  # [B, S, H, dk]
+        v_all = jnp.concatenate([v_cache, v_new], axis=1)
+        x = x + _rel_attention(bp, h, k_all, v_all, pos_emb, mask, cfg)
+        x = x + _ffn(bp, layer_norm(bp["ln2"], x))
+        # static shift+append: keep the newest `cap` keys, still time-ordered
+        return x, (k_all[:, -cap:], v_all[:, -cap:])
+
+    x, (new_k, new_v) = jax.lax.scan(
+        block_fn, x, (params["blocks"], state.k_cache, state.v_cache))
+    x = layer_norm(params["after_norm"], x)
+
+    new_state = EncoderState(
+        k_cache=new_k, v_cache=new_v,
+        valid=jnp.minimum(valid + T, cap).astype(jnp.int32),
+        pe_index=(pe_idx + cfg.chunk_size).astype(jnp.int32),
+    )
+    return x, new_state
