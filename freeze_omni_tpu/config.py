@@ -282,8 +282,11 @@ class CodecConfig:
     """TiCodec VQ-VAE (models/decoder/ticodec/models.py). Dims are (ckpt cfg)."""
 
     sample_rate: int = 24000
-    upsample_rates: Tuple[int, ...] = (5, 5, 4, 3, 2)  # product 600 = 24kHz / 40Hz
-    upsample_kernel_sizes: Tuple[int, ...] = (10, 10, 8, 6, 4)
+    # 4 stages (product 600 = 24kHz / 40Hz): the reference encoder's hardcoded
+    # 32->512 channel ladder and 512-dim codebooks imply exactly 4 stages
+    # (models.py:440-464)
+    upsample_rates: Tuple[int, ...] = (8, 5, 5, 3)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 10, 10, 6)
     upsample_initial_channel: int = 512
     resblock: str = "1"
     resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
@@ -293,7 +296,9 @@ class CodecConfig:
     residual_layers: int = 1
     global_code_num: int = 8
     global_feature_dim: int = 128
-    global_feature_conv: Tuple[int, ...] = (256, 128, 128, 3, 1)
+    # in/hidden/out/kernel/stride; `in` must equal the encoder's mid-stage
+    # channel count 32 * 2**(num_upsamples//2) (models.py:490-492)
+    global_feature_conv: Tuple[int, ...] = (128, 128, 128, 3, 1)
     global_tokens: Tuple[int, ...] = (0,) * 8  # default style tokens (ckpt cfg)
 
     @property
@@ -394,10 +399,10 @@ def tiny_system() -> SystemConfig:
     dec = SpeechDecoderConfig(idim=128, hidden=128, num_layers=2, num_heads=4,
                               ffn=256, codec_vocab=64, max_kv_len=256)
     codec = CodecConfig(
-        upsample_rates=(5, 4, 3, 2, 5), upsample_kernel_sizes=(10, 8, 6, 4, 10),
+        upsample_rates=(8, 5, 5, 3), upsample_kernel_sizes=(16, 10, 10, 6),
         upsample_initial_channel=64, resblock_kernel_sizes=(3,),
         resblock_dilation_sizes=((1, 3, 5),), n_codes=64, global_code_num=2,
-        global_feature_dim=16, global_feature_conv=(32, 16, 16, 3, 1),
+        global_feature_dim=16, global_feature_conv=(128, 16, 16, 3, 1),
         global_tokens=(0, 0),
     )
     return SystemConfig(

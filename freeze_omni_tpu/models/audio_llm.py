@@ -1,0 +1,180 @@
+"""AudioLLM core: streaming encoders + adapters + frozen LLM + dialog-state head.
+
+Functional re-design of models/audioLLM.py:25-527. The reference keeps dual
+user/system copies of the encoder and adapter (audioLLM.py:67-68, 166), a
+4-class predictor head read at the last frame (214-217, 486-493), precomputed
+chat-template prefix embeddings (245-251, 290-310), and a single shared KV
+cache threaded through every chunk. Here:
+
+- all per-session state is one `SessionCaches` pytree (encoder window KV, adapter
+  conv caches for both identities, LLM KV cache) so sessions batch on a leading
+  axis in the serving runtime — the "Model as a Server" externalized-cache design
+  (models/pipeline.py:36-44) mapped onto fixed-shape arrays;
+- `recognize_step` is one jittable function per identity: fbank chunk ->
+  encoder -> adapter -> optional chat-prefix splice (validity-masked, so the
+  same compiled step serves ipu_sl and ipu_cl) -> LLM prefill -> state head;
+- `prefill_tokens` implements set_system_role (audioLLM.py:312-348);
+- `generate_step` restores the upstream text-generation loop
+  (bin/inference.py:140-183 semantics) returning (token, hidden) per step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AudioLLMConfig, SamplingConfig
+from ..ops.sampling import sample_top_k_top_p
+from . import adapter as adapter_mod
+from . import encoder as encoder_mod
+from . import qwen2
+from .layers import linear, linear_init
+
+
+class SessionCaches(NamedTuple):
+    enc_user: encoder_mod.EncoderState
+    adp_user: adapter_mod.AdapterState
+    enc_system: encoder_mod.EncoderState
+    adp_system: adapter_mod.AdapterState
+    kv: qwen2.KVCache
+
+
+def init_session(cfg: AudioLLMConfig, batch: int = 1,
+                 kv_dtype=jnp.float32) -> SessionCaches:
+    return SessionCaches(
+        enc_user=encoder_mod.init_state(cfg.encoder, batch),
+        adp_user=adapter_mod.init_state(cfg.adapter, batch),
+        enc_system=encoder_mod.init_state(cfg.encoder, batch),
+        adp_system=adapter_mod.init_state(cfg.adapter, batch),
+        kv=qwen2.init_cache(cfg.llm, batch, dtype=kv_dtype),
+    )
+
+
+def reset_audio_caches(cfg: AudioLLMConfig, caches: SessionCaches) -> SessionCaches:
+    """Reset encoder/adapter caches but keep the LLM KV (bin/inference.py:133-135)."""
+    b = caches.kv.length.shape[0]
+    return SessionCaches(
+        enc_user=encoder_mod.init_state(cfg.encoder, b),
+        adp_user=adapter_mod.init_state(cfg.adapter, b),
+        enc_system=encoder_mod.init_state(cfg.encoder, b),
+        adp_system=adapter_mod.init_state(cfg.adapter, b),
+        kv=caches.kv,
+    )
+
+
+def init_params(key, cfg: AudioLLMConfig, llm_dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 6)
+    return {
+        "encoder_user": encoder_mod.init_params(ks[0], cfg.encoder),
+        "encoder_system": encoder_mod.init_params(ks[1], cfg.encoder),
+        "adapter_user": adapter_mod.init_params(ks[2], cfg.adapter),
+        "adapter_system": adapter_mod.init_params(ks[3], cfg.adapter),
+        "llm": qwen2.init_params(ks[4], cfg.llm, dtype=llm_dtype),
+        # 4-logit state head (audioLLM.py:214-217)
+        "predictor": linear_init(ks[5], cfg.llm.hidden, cfg.num_states,
+                                 dtype=jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# steps
+# ---------------------------------------------------------------------------
+
+
+def prefill_tokens(params, cfg: AudioLLMConfig, ids: jnp.ndarray,
+                   kv: qwen2.KVCache) -> qwen2.KVCache:
+    """System-role prefill: embed `ids` [B, T] and append to the KV cache
+    (set_system_role, audioLLM.py:312-348)."""
+    embeds = qwen2.embed_tokens(params["llm"], ids)
+    _, kv = qwen2.forward(params["llm"], cfg.llm, embeds,
+                          jnp.ones(ids.shape, bool), kv)
+    return kv
+
+
+def state_head(params, hidden_last: jnp.ndarray) -> jnp.ndarray:
+    """4-logit head; softmax over the first 3 classes (audioLLM.py:486-493).
+    hidden_last: [B, D] -> [B, 3] probabilities."""
+    logits = linear(params["predictor"], hidden_last.astype(jnp.float32))
+    return jax.nn.softmax(logits[..., :-1], axis=-1)
+
+
+def recognize_step(
+    params, cfg: AudioLLMConfig, identity: str,
+    fbank_chunk: jnp.ndarray,        # [B, T_f, 80]
+    is_sl: jnp.ndarray,              # [B] bool — chunk starts an IPU
+    prefix_embeds: jnp.ndarray,      # [P, D] chat-template prefix for identity
+    caches: SessionCaches,
+) -> Tuple[jnp.ndarray, SessionCaches]:
+    """One audio chunk through encoder -> adapter -> LLM prefill -> state head.
+
+    Returns ([B, 3] state probs — meaningful only for identity='user', matching
+    do_prediction at audioLLM.py:393-397 — and updated caches)."""
+    if identity == "user":
+        enc_p, adp_p = params["encoder_user"], params["adapter_user"]
+        enc_s, adp_s = caches.enc_user, caches.adp_user
+    elif identity == "system":
+        enc_p, adp_p = params["encoder_system"], params["adapter_system"]
+        enc_s, adp_s = caches.enc_system, caches.adp_system
+    else:
+        raise ValueError(f"unknown identity {identity!r}")
+
+    enc_out, enc_s = encoder_mod.stream_step(enc_p, cfg.encoder, fbank_chunk, enc_s)
+    embeds, adp_s = adapter_mod.step(adp_p, cfg.adapter, enc_out, adp_s)
+    B, T, D = embeds.shape
+    P = prefix_embeds.shape[0]
+
+    # chat-template prefix splice on IPU start (audioLLM.py:403-406): the prefix
+    # occupies the first P slots; validity-masked so non-sl chunks skip it
+    # within the same compiled step.
+    full = jnp.concatenate(
+        [jnp.broadcast_to(prefix_embeds[None], (B, P, D)).astype(embeds.dtype),
+         embeds], axis=1)
+    mask = jnp.concatenate(
+        [jnp.broadcast_to(is_sl[:, None], (B, P)),
+         jnp.ones((B, T), bool)], axis=1)
+
+    hidden, kv = qwen2.forward(params["llm"], cfg.llm, full, mask, caches.kv)
+    last = qwen2.last_valid_index(mask)  # [B]
+    hidden_last = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0]
+    probs = state_head(params, hidden_last)
+
+    if identity == "user":
+        caches = caches._replace(enc_user=enc_s, adp_user=adp_s, kv=kv)
+    else:
+        caches = caches._replace(enc_system=enc_s, adp_system=adp_s, kv=kv)
+    return probs, caches
+
+
+def generate_step(
+    params, cfg: AudioLLMConfig, token: jnp.ndarray, kv: qwen2.KVCache,
+    rng, sampling: SamplingConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, qwen2.KVCache]:
+    """One text-decode step: embed token [B] -> LLM -> sample next.
+
+    Returns (next_token [B], hidden [B, D], kv). The hidden state feeds the
+    speech decoder (bin/inference.py:142-143, 162)."""
+    embeds = qwen2.embed_tokens(params["llm"], token[:, None])
+    hidden, kv = qwen2.forward(params["llm"], cfg.llm, embeds,
+                               jnp.ones_like(token, bool)[:, None], kv)
+    lg = qwen2.logits(params["llm"], cfg.llm, hidden[:, 0])
+    nxt = sample_top_k_top_p(rng, lg, sampling.temperature, sampling.top_k,
+                             sampling.top_p)
+    return nxt, hidden[:, 0], kv
+
+
+def prefill_and_sample(
+    params, cfg: AudioLLMConfig, ids: jnp.ndarray, kv: qwen2.KVCache,
+    rng, sampling: SamplingConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, qwen2.KVCache]:
+    """Stage 'dialog_ss': prefill the assistant chat prefix `ids` [B, T] and
+    sample the first response token from the last prefix position."""
+    embeds = qwen2.embed_tokens(params["llm"], ids)
+    hidden, kv = qwen2.forward(params["llm"], cfg.llm, embeds,
+                               jnp.ones(ids.shape, bool), kv)
+    h_last = hidden[:, -1]
+    lg = qwen2.logits(params["llm"], cfg.llm, h_last)
+    nxt = sample_top_k_top_p(rng, lg, sampling.temperature, sampling.top_k,
+                             sampling.top_p)
+    return nxt, h_last, kv

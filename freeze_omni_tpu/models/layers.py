@@ -84,13 +84,17 @@ def conv1d(p, x, stride: int = 1, padding=(0, 0), groups: int = 1,
 
 
 def conv_transpose1d(p, x, stride: int, padding: int):
-    """x: [B, C, T]; p['w']: [in, out, k] (torch ConvTranspose1d layout)."""
+    """x: [B, C, T]; p['w']: [in, out, k] (torch ConvTranspose1d layout).
+
+    Expressed as a fractionally-strided conv (lhs_dilation) with a flipped
+    kernel — verified exact against torch ConvTranspose1d."""
     w = p["w"]
     k = w.shape[-1]
-    # lax.conv_transpose with flipped-kernel IOH semantics == torch ConvTranspose1d
-    y = jax.lax.conv_transpose(
-        x, w, strides=(stride,), padding=[(k - 1 - padding, k - 1 - padding)],
-        dimension_numbers=("NCH", "IOH", "NCH"), transpose_kernel=True,
+    y = jax.lax.conv_general_dilated(
+        x, w[:, :, ::-1], window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "IOH", "NCH"),
     )
     if "b" in p:
         y = y + p["b"][None, :, None]

@@ -1,0 +1,184 @@
+"""Qwen2-class decoder-only LLM backbone, TPU-native.
+
+The reference wraps a HF Qwen2-7B-Instruct via AutoModelForCausalLM and only
+ever calls it with `inputs_embeds` + a growing legacy KV tuple
+(models/audioLLM.py:408-427, 479-484). Here the backbone is a pure function
+over a params pytree with:
+
+- a **static-shape KV cache** [L, B, S_max, Hkv, dk] + per-sequence length,
+  instead of unbounded concatenation: chunks arrive padded to a static length
+  with a validity mask, valid tokens are compacted into the cache with a
+  scatter, and attention masks derive from (length, rank) — so one compiled
+  step serves every chunk of a session and sessions batch along B;
+- GQA (4 kv heads vs 28 q heads), RoPE, RMSNorm, SwiGLU, q/k/v biases, all
+  matching the Qwen2 architecture;
+- prefill-with-embeddings as the primary API (the pipeline never feeds token
+  ids), plus `embed_tokens`/`logits` for the text-generation path
+  (bin/inference.py:140-183) and TTS re-embedding (bin/inference.py:86-90).
+
+Weights are annotated for tensor parallelism in parallel/mesh.py (heads and ffn
+sharded over the 'model' axis; ICI collectives inserted by XLA under pjit).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LLMConfig
+from .layers import (NEG_INF, apply_rotary, embedding, linear, linear_init,
+                     rms_norm, rms_norm_init, rotary_embed)
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray       # [L, B, S_max, Hkv, dk]
+    v: jnp.ndarray       # [L, B, S_max, Hkv, dk]
+    length: jnp.ndarray  # [B] int32 — valid prefix length per sequence
+
+
+def init_cache(cfg: LLMConfig, batch: int = 1, max_len: Optional[int] = None,
+               dtype=jnp.bfloat16) -> KVCache:
+    s = max_len or cfg.max_kv_len
+    shape = (cfg.num_layers, batch, s, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.zeros((batch,), jnp.int32))
+
+
+def init_layer_stack(key, cfg: LLMConfig, num_layers: int, dtype=jnp.bfloat16):
+    """Stacked decoder-layer params [num_layers, ...] (shared by the Qwen2
+    backbone and the LLaMA-architecture speech decoder's three stacks)."""
+    D, H, Hkv, dk = cfg.hidden, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def layer_init(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "ln1": rms_norm_init(D, dtype),
+            "q": linear_init(ks[0], D, H * dk, bias=cfg.qkv_bias, dtype=dtype),
+            "k": linear_init(ks[1], D, Hkv * dk, bias=cfg.qkv_bias, dtype=dtype),
+            "v": linear_init(ks[2], D, Hkv * dk, bias=cfg.qkv_bias, dtype=dtype),
+            "o": linear_init(ks[3], H * dk, D, bias=False, dtype=dtype),
+            "ln2": rms_norm_init(D, dtype),
+            "gate": linear_init(ks[4], D, cfg.ffn, bias=False, dtype=dtype),
+            "up": linear_init(ks[5], D, cfg.ffn, bias=False, dtype=dtype),
+            "down": linear_init(ks[6], cfg.ffn, D, bias=False, dtype=dtype),
+        }
+
+    layers = [layer_init(k) for k in jax.random.split(key, num_layers)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def init_params(key, cfg: LLMConfig, dtype=jnp.bfloat16) -> dict:
+    D = cfg.hidden
+    keys = jax.random.split(key, 3)
+    params = {
+        "embed": {"w": (jax.random.normal(keys[0], (cfg.vocab_size, D)) * 0.02
+                        ).astype(dtype)},
+        "layers": init_layer_stack(keys[2], cfg, cfg.num_layers, dtype),
+        "final_norm": rms_norm_init(D, dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = linear_init(keys[1], D, cfg.vocab_size, bias=False,
+                                        dtype=dtype)
+    return params
+
+
+def embed_tokens(params, ids: jnp.ndarray) -> jnp.ndarray:
+    return embedding(params["embed"], ids)
+
+
+def logits(params, cfg: LLMConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    if cfg.tie_embeddings:
+        return jnp.einsum("...d,vd->...v", hidden, params["embed"]["w"])
+    return linear(params["lm_head"], hidden)
+
+
+def _gqa_attention(q, k_all, v_all, mask, rep: int):
+    """q: [B,T,H,dk]; k_all/v_all: [B,S,Hkv,dk]; mask: [B,T,S] bool."""
+    B, T, H, dk = q.shape
+    Hkv = k_all.shape[2]
+    q = q.reshape(B, T, Hkv, rep, dk)
+    scores = jnp.einsum("bthrd,bshd->bhrts", q, k_all) / math.sqrt(dk)
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF)
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhrts,bshd->bthrd", attn, v_all)
+    return out.reshape(B, T, H * dk)
+
+
+def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,
+            cache: KVCache, pos_offset=0) -> Tuple[jnp.ndarray, KVCache]:
+    """Prefill/decode step over a static-length chunk of embeddings.
+
+    embeds: [B, T, D] (chunk padded to static T); mask: [B, T] validity.
+    Valid tokens are appended compactly to the cache; returns (hidden [B, T, D],
+    updated cache). Invalid positions produce garbage hidden states — callers
+    index the last *valid* position (see `last_valid_index`).
+
+    pos_offset ([B] or scalar) is subtracted from RoPE positions (cache slots
+    are unaffected): the speech decoder restarts positions after its KV prefix
+    (models/decoder/decoder.py:337-341).
+    """
+    B, T, D = embeds.shape
+    H, Hkv, dk = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    rep = H // Hkv
+    S = cache.k.shape[2]
+
+    maski = mask.astype(jnp.int32)
+    rank = jnp.cumsum(maski, axis=1) - 1            # [B, T] rank among valid
+    n_new = jnp.sum(maski, axis=1)                  # [B]
+    positions = cache.length[:, None] + jnp.maximum(rank, 0)  # [B, T]
+    rope_positions = positions - jnp.asarray(pos_offset).reshape(-1, 1)
+    # Invalid chunk tokens are parked in scratch slot S-1; the runtime invariant
+    # is length + n_new <= S-1 (sessions reset/evict before the cache fills), so
+    # the scratch slot is never visible to any valid query.
+    dest = jnp.where(mask, positions, S - 1)
+
+    cos, sin = rotary_embed(rope_positions.reshape(-1), dk, cfg.rope_theta)
+    cos = cos.reshape(B, T, dk)
+    sin = sin.reshape(B, T, dk)
+
+    slot = jnp.arange(S)[None, None, :]             # [1, 1, S]
+    # key slot s visible to query t iff s < length + rank_t + 1
+    visible = slot < (cache.length[:, None, None] + rank[:, :, None] + 1)
+    attn_mask = visible & mask[:, :, None]          # invalid queries see nothing
+
+    batch_idx = jnp.arange(B)[:, None].repeat(T, 1)  # [B, T]
+
+    def apply_rot(x, cos, sin):
+        d2 = x.shape[-1] // 2
+        x1, x2 = x[..., :d2], x[..., d2:]
+        rot = jnp.concatenate([-x2, x1], axis=-1)
+        return x * cos[:, :, None, :] + rot * sin[:, :, None, :]
+
+    def layer_fn(x, inputs):
+        lp, k_cache, v_cache = inputs  # caches: [B, S, Hkv, dk]
+        h = rms_norm(lp["ln1"], x, cfg.rms_eps)
+        q = linear(lp["q"], h).reshape(B, T, H, dk)
+        k = linear(lp["k"], h).reshape(B, T, Hkv, dk)
+        v = linear(lp["v"], h).reshape(B, T, Hkv, dk)
+        q = apply_rot(q, cos, sin)
+        k = apply_rot(k, cos, sin)
+        k_cache = k_cache.at[batch_idx, dest].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[batch_idx, dest].set(v.astype(v_cache.dtype))
+        att = _gqa_attention(q, k_cache, v_cache, attn_mask, rep)
+        x = x + linear(lp["o"], att)
+        h2 = rms_norm(lp["ln2"], x, cfg.rms_eps)
+        ffn = linear(lp["down"], jax.nn.silu(linear(lp["gate"], h2)) * linear(lp["up"], h2))
+        x = x + ffn
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_fn, embeds, (params["layers"], cache.k, cache.v))
+    x = rms_norm(params["final_norm"], x, cfg.rms_eps)
+
+    new_cache = KVCache(k=new_k, v=new_v, length=cache.length + n_new)
+    return x, new_cache
+
+
+def last_valid_index(mask: jnp.ndarray) -> jnp.ndarray:
+    """Index of the last valid token per row of a [B, T] mask."""
+    T = mask.shape[1]
+    idx = jnp.arange(T)[None, :]
+    return jnp.max(jnp.where(mask, idx, -1), axis=1)
