@@ -30,7 +30,7 @@ def sample_top_k(key, logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
     return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
 
 
-@partial(jax.jit, static_argnames=("top_k",))
+@partial(jax.jit, static_argnames=("top_k", "top_p", "temperature"))
 def sample_top_k_top_p(key, logits: jnp.ndarray, temperature: float = 1.0,
                        top_k: int = 0, top_p: float = 0.0) -> jnp.ndarray:
     """logits: [B, V]. Order matches audioLLM.py:431-477 exactly."""

@@ -1,0 +1,156 @@
+"""Streaming speech synthesis: AR decoder -> codec, chunked with seam splicing.
+
+Re-design of models/decoder/llm2tts.py:17-160. Differences from the reference,
+driven by the TPU compilation model:
+
+- tokens are generated in fixed-size on-device `decode_segment` scans (one
+  dispatch per codec chunk) instead of a per-token Python loop;
+- the vocoder runs at a small set of static token-lengths (first chunk,
+  steady-state chunk, bucketed final chunk padded with the last token and
+  trimmed in samples) so XLA compiles each shape once;
+- seam splicing (`find_min_seam`) — the zero-crossing-style search that splices
+  codec chunks without clicks (llm2tts.py:70-112) — runs host-side in numpy on
+  the small PCM segments.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import TTSConfig
+from .models import codec as codec_mod
+from .models import speech_decoder as sd
+
+
+def find_min_seam(buffer: np.ndarray, syn: np.ndarray, N: int,
+                  threshold: float):
+    """Find the quietest sample in the second half of `syn` and splice there.
+
+    buffer, syn: [1, 1, n] float arrays. Returns (new_buffer, emitted|None),
+    matching llm2TTS.find_min_sum_index semantics (llm2tts.py:70-112)."""
+    arr = syn[0, 0]
+    L = arr.shape[0]
+    mid = L // 2
+    window_sums = np.convolve(np.abs(arr), np.ones(N), mode="valid")
+    start = mid - (N // 2)
+    seg = window_sums[start:]
+    min_index = int(np.argmin(seg))
+    min_sum = float(seg[min_index])
+
+    w_start = max(0, min_index + start)
+    w_end = min(L, min_index + N + start)
+    inner = int(np.argmin(np.abs(arr[w_start:w_end])))
+    cut = inner + w_start
+
+    if min_sum / N < threshold:
+        emitted = np.concatenate([buffer, syn[:, :, :cut]], axis=-1)
+        new_buffer = syn[:, :, cut:].copy()
+        return new_buffer, emitted
+    return np.concatenate([buffer, syn], axis=-1), None
+
+
+class StreamingTTS:
+    """hidden states + (optional) prefix -> streaming 24 kHz PCM segments."""
+
+    def __init__(self, params: dict, cfg: TTSConfig, seed: int = 0):
+        """params: {'decoder': speech-decoder params, 'codec': codec params}."""
+        self.params = params
+        self.cfg = cfg
+        self._rng = jax.random.PRNGKey(seed)
+        self._decode_segment = jax.jit(
+            sd.decode_segment, static_argnames=("cfg", "n_steps", "top_k",
+                                                "penalty_window", "penalty"))
+        self._vocode = jax.jit(codec_mod.decode, static_argnames=("cfg",))
+        self._global_tokens = jnp.asarray(
+            np.array(cfg.codec.global_tokens, np.int32)[None, None, :])
+
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _codec(self, tokens: np.ndarray) -> np.ndarray:
+        """tokens: [n] codec ids -> [1, 1, samples] float numpy.
+
+        Pads to a bucketed static length (repeat last token) and trims the
+        output back, so the vocoder compiles for few shapes."""
+        n = tokens.shape[0]
+        n_pad = ((n + 9) // 10) * 10  # bucket to multiples of 10 tokens
+        padded = np.concatenate([tokens, np.repeat(tokens[-1:], n_pad - n)])
+        codes = jnp.asarray(padded[None, :, None].astype(np.int32))
+        wav = self._vocode(self.params["codec"], self.cfg.codec, codes,
+                           self._global_tokens)
+        wav = np.asarray(wav, np.float32)
+        keep = int(round(wav.shape[-1] * (n / n_pad)))
+        return wav[:, :, :keep]
+
+    def run(self, hidden, prefix=None, top_k: Optional[int] = None,
+            codec_chunk_size: Optional[int] = None,
+            codec_padding_size: Optional[int] = None) -> Iterator[np.ndarray]:
+        """hidden: [1, T, idim] text-embedding frames; prefix: [1, P, idim] LLM
+        hidden-state frames or None. Yields [1, 1, n] PCM segments
+        (llm2TTS.run, llm2tts.py:114-160)."""
+        cfg = self.cfg
+        top_k = top_k if top_k is not None else cfg.top_k
+        chunk = codec_chunk_size or cfg.codec_chunk_size
+        padding = codec_padding_size or cfg.codec_padding_size
+
+        dcfg = cfg.decoder
+        hidden = jnp.asarray(hidden)
+        pre = sd.pre_nn(self.params["decoder"], dcfg, hidden)
+        bos = sd.embedding(self.params["decoder"]["embedding"],
+                           jnp.full((1, 1), dcfg.bos_id))
+        block = jnp.concatenate([bos, pre], axis=1)
+
+        cache = sd.init_cache(dcfg, 1)
+        if prefix is not None and dcfg.use_prefix_kv:
+            prefix = jnp.asarray(prefix)
+            cache = sd.prefix_prefill(self.params["decoder"], dcfg, prefix,
+                                      jnp.ones(prefix.shape[:2], bool), cache)
+        _, cache = sd.prefill(self.params["decoder"], dcfg, block,
+                              jnp.ones(block.shape[:2], bool), cache)
+
+        state = sd.init_decode_state(dcfg, cache,
+                                     max(cfg.penalty_window_size, 1))
+        token_buf = np.zeros((0,), np.int64)
+        pcm_buffer = np.zeros((1, 1, 0), np.float32)
+        left = 0
+        right = padding
+        done = False
+        total = 0
+
+        while not done and total < cfg.max_tokens:
+            need = left + chunk + right - token_buf.shape[0]
+            n_steps = min(need, cfg.max_tokens - total)
+            toks, state = self._decode_segment(
+                self.params["decoder"], dcfg, state, self._next_key(),
+                n_steps=n_steps, top_k=top_k,
+                penalty_window=cfg.penalty_window_size, penalty=cfg.penalty)
+            toks = np.asarray(toks)[0]
+            total += n_steps
+            eos_pos = np.where((toks == dcfg.eos_id) | (toks == dcfg.pad_id))[0]
+            if eos_pos.size:
+                toks = toks[: eos_pos[0]]
+                done = True
+            token_buf = np.concatenate([token_buf, toks])
+
+            if not done and token_buf.shape[0] == left + chunk + right:
+                syn = self._codec(token_buf)
+                up = self.cfg.codec.upsample_rate
+                syn = syn[:, :, left * up : syn.shape[-1] - right * up]
+                left = padding
+                token_buf = token_buf[-(left + right):]
+                pcm_buffer, emitted = find_min_seam(pcm_buffer, syn,
+                                                    cfg.seam_window,
+                                                    cfg.seam_threshold)
+                if emitted is not None:
+                    yield emitted
+
+        if token_buf.shape[0] > 0:
+            syn = self._codec(token_buf)
+            up = self.cfg.codec.upsample_rate
+            syn = syn[:, :, left * up :]
+            yield np.concatenate([pcm_buffer, syn], axis=-1)
