@@ -1,0 +1,165 @@
+"""Headline benchmark: p50 speech-to-first-audio latency on one TPU chip.
+
+Measures the reference's end-to-end latency breakdown (BASELINE.md /
+assets/latency.png): from the moment the dialog engine decides to speak
+("LLM interrupted") through assistant-prefix prefill + first text-token chunk,
+speech-decoder prefill, the first codec token chunk, and the first PCM samples
+out of the vocoder. Baseline p50 = 753 ms (reference GPU).
+
+Runs the flagship architecture (Qwen2-7B feature dims) with a configurable
+layer count (--layers) sized to the single chip; all steps are the same jitted
+graphs the serving path uses. Prints ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_P50_MS = 753.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=12,
+                   help="LLM layer count (flagship=28; default sized for the "
+                        "16GB v5e chip alongside XLA workspace)")
+    p.add_argument("--trials", type=int, default=5)
+    p.add_argument("--sentence_tokens", type=int, default=8,
+                   help="text tokens before first sentence boundary")
+    p.add_argument("--preset", default="bench", choices=["bench", "tiny"])
+    args = p.parse_args()
+
+    from freeze_omni_tpu.config import (LLMConfig, SamplingConfig, flagship_system,
+                                        tiny_system)
+    from freeze_omni_tpu.models import audio_llm, codec as codec_mod, qwen2
+    from freeze_omni_tpu.models import speech_decoder as sd
+    from freeze_omni_tpu.tts import StreamingTTS
+
+    if args.preset == "tiny":
+        cfg = tiny_system()
+        llm_dtype = jnp.float32
+    else:
+        cfg = flagship_system()
+        cfg = dataclasses.replace(
+            cfg, audio_llm=dataclasses.replace(
+                cfg.audio_llm,
+                llm=dataclasses.replace(cfg.audio_llm.llm,
+                                        num_layers=args.layers,
+                                        max_kv_len=1024)))
+        llm_dtype = jnp.bfloat16
+
+    acfg = cfg.audio_llm
+    log(f"devices: {jax.devices()}")
+    log(f"init: llm layers={acfg.llm.num_layers} hidden={acfg.llm.hidden} "
+        f"dtype={llm_dtype.__name__}")
+
+    t0 = time.time()
+    params = audio_llm.init_params(jax.random.PRNGKey(0), acfg,
+                                   llm_dtype=llm_dtype)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    tts_params = {"decoder": sd.init_params(k1, cfg.tts.decoder),
+                  "codec": codec_mod.init_params(k2, cfg.tts.codec)}
+    jax.block_until_ready(params)
+    log(f"params ready in {time.time()-t0:.1f}s")
+
+    # random weights produce noise PCM, so the content-dependent seam gate
+    # (llm2tts.py:106-112) would arbitrarily delay the first yield; force
+    # first-chunk emission to measure pure pipeline latency
+    tts = StreamingTTS(tts_params,
+                       dataclasses.replace(cfg.tts, seam_threshold=1e9), seed=0)
+    sampling = cfg.sampling
+
+    prefill_sample = jax.jit(audio_llm.prefill_and_sample,
+                             static_argnames=("cfg", "sampling"))
+    generate_seg = jax.jit(
+        audio_llm.generate_segment,
+        static_argnames=("cfg", "sampling", "n_steps", "eod_id"))
+    recognize = jax.jit(audio_llm.recognize_step,
+                        static_argnames=("cfg", "identity"))
+
+    # fixture: a duplex session mid-conversation
+    kv = qwen2.init_cache(acfg.llm, 1, dtype=llm_dtype)
+    role_ids = jnp.arange(24)[None] % acfg.llm.vocab_size
+    kv = jax.jit(audio_llm.prefill_tokens, static_argnames=("cfg",))(
+        params, acfg, role_ids, kv)
+    caches = audio_llm.init_session(acfg, 1, kv_dtype=llm_dtype)._replace(kv=kv)
+    chunk = jnp.asarray(np.random.RandomState(0).randn(1, 32, 80), jnp.float32)
+    prefix_embeds = qwen2.embed_tokens(
+        params["llm"], jnp.asarray([151645 % acfg.llm.vocab_size] * 6))
+    assistant_ids = (jnp.arange(6)[None] + 3) % acfg.llm.vocab_size
+
+    dec_idim = cfg.tts.decoder.idim
+    factor = acfg.llm.hidden // dec_idim
+
+    def one_trial(caches, key, timed: bool):
+        t_start = time.perf_counter()
+        marks = {}
+        # a) assistant-prefix prefill + first token (one dispatch)
+        tok, hidden0, kv2 = prefill_sample(params, acfg, assistant_ids,
+                                           caches.kv, key, sampling)
+        # b) rest of the first text chunk in ONE on-device segment
+        key, k = jax.random.split(key)
+        toks, hiddens, done, kv2 = generate_seg(
+            params, acfg, tok, kv2, k, sampling,
+            n_steps=args.sentence_tokens - 1, eod_id=-1)
+        tok_ids = np.concatenate([np.asarray(tok), np.asarray(toks)[0]])
+        marks["first_text_chunk_ms"] = (time.perf_counter() - t_start) * 1e3
+        # c) speech decoder + codec to first PCM
+        text_emb = qwen2.embed_tokens(params["llm"], jnp.asarray(tok_ids)[None])
+        text_emb = np.asarray(text_emb, np.float32).reshape(-1, dec_idim)[None]
+        prefix = np.concatenate(
+            [np.asarray(hidden0, np.float32)[:, None],
+             np.asarray(hiddens, np.float32)], axis=1).reshape(-1, dec_idim)[None]
+        for seg in tts.run(text_emb, prefix=prefix, top_k=2):
+            first_pcm = seg
+            break
+        marks["first_pcm_ms"] = (time.perf_counter() - t_start) * 1e3
+        return marks
+
+    # warmup (compile all graphs)
+    log("warmup/compile...")
+    t0 = time.time()
+    one_trial(caches, jax.random.PRNGKey(100), timed=False)
+    # also warm the duplex prefill step (serving hot path)
+    probs, _ = recognize(params, acfg, "user", chunk, jnp.array([True]),
+                         prefix_embeds, caches)
+    jax.block_until_ready(probs)
+    log(f"warmup done in {time.time()-t0:.1f}s")
+
+    lat = []
+    for i in range(args.trials):
+        m = one_trial(caches, jax.random.PRNGKey(200 + i), timed=True)
+        lat.append(m)
+        log(f"trial {i}: first_text={m['first_text_chunk_ms']:.1f}ms "
+            f"first_pcm={m['first_pcm_ms']:.1f}ms")
+
+    p50 = float(np.median([m["first_pcm_ms"] for m in lat]))
+    p50_text = float(np.median([m["first_text_chunk_ms"] for m in lat]))
+    print(json.dumps({
+        "metric": "p50_speech_to_first_audio",
+        "value": round(p50, 1),
+        "unit": "ms",
+        "vs_baseline": round(p50 / BASELINE_P50_MS, 3),
+        "detail": {
+            "p50_first_text_chunk_ms": round(p50_text, 1),
+            "baseline_p50_ms": BASELINE_P50_MS,
+            "llm_layers": acfg.llm.num_layers,
+            "note": "vs_baseline = ours/reference (<1 is faster)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,34 +108,43 @@ def run_inference(cfg: SystemConfig, args, pipeline=None, tts_params=None):
     outputs["encoder_cache"] = None
     outputs["stat"] = "dialog_ss"
 
-    # Stage 3/4: generate text, synthesize per sentence
+    # Stage 3/4: generate text in on-device segments, synthesize per sentence
     wav_segments: list = []
     with span("generate"):
-        outputs = pipeline.speech_dialogue(None, **outputs)
+        outputs = pipeline.speech_dialogue(None, **outputs)  # 'dialog_ss'
+        tok = pipeline.core.tokenizer
         cur_hidden = [outputs["hidden_state"]]
-        whole_text, last_text, cur_text = outputs["text"], "", ""
-        t_first_text = time.perf_counter()
-        while True:
-            if len(outputs["past_tokens"]) > args.max_tokens:
-                break
-            delta = outputs["text"][len(last_text):]
-            last_text = outputs["text"]
-            cur_text += delta
-            whole_text = outputs["text"]
-            if delta.endswith(SENTENCE_SUFFIXES) and cur_text.strip():
-                if not (delta.endswith(".") and last_text[:-len(delta)][-1:].isdigit()):
-                    with span("synthesize"):
-                        synthesize_sentence(pipeline, tts, cur_hidden, cur_text,
-                                            wav_segments)
-                    cur_hidden, cur_text = [], ""
-            if outputs["stat"] == "dialog_sl":
-                break
-            outputs = pipeline.speech_dialogue(None, **outputs)
-            cur_hidden.append(outputs["hidden_state"])
-        if cur_text.strip() and cur_hidden:
-            with span("synthesize"):
-                synthesize_sentence(pipeline, tts, cur_hidden, cur_text,
-                                    wav_segments)
+        cur_tokens = list(outputs["past_tokens"])
+        whole_tokens = list(outputs["past_tokens"])
+        cur_start = 0  # token offset of the current sentence
+
+        def flush():
+            nonlocal cur_hidden, cur_tokens
+            text = tok.decode([t for t in cur_tokens if t != tok.eod_id])
+            if text.strip() and cur_hidden:
+                with span("synthesize"):
+                    synthesize_sentence(pipeline, tts, cur_hidden, text,
+                                        wav_segments)
+            cur_hidden, cur_tokens = [], []
+
+        while outputs["stat"] == "dialog_cs" and \
+                len(outputs["past_tokens"]) <= args.max_tokens:
+            outputs = pipeline.speech_dialogue_segment(outputs, n_steps=16)
+            seg_toks = outputs["segment_tokens"]
+            seg_hid = outputs["segment_hiddens"]  # [1, k, D]
+            whole_tokens += seg_toks
+            # host-side sentence-boundary scan over the segment
+            # (bin/inference.py:160-174 semantics, token-aligned)
+            for j, t in enumerate(seg_toks):
+                cur_tokens.append(t)
+                cur_hidden.append(seg_hid[:, j : j + 1])
+                piece = tok.decode([t]) if t != tok.eod_id else ""
+                if piece.endswith(SENTENCE_SUFFIXES):
+                    prev = tok.decode(cur_tokens[:-1])
+                    if not (piece.endswith(".") and prev[-1:].isdigit()):
+                        flush()
+        flush()
+        whole_text = tok.decode([t for t in whole_tokens if t != tok.eod_id])
 
     with span("write_audio"):
         out = (np.concatenate(wav_segments) if wav_segments

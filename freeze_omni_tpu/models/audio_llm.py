@@ -164,6 +164,36 @@ def generate_step(
     return nxt, hidden[:, 0], kv
 
 
+def generate_segment(
+    params, cfg: AudioLLMConfig, token: jnp.ndarray, kv: qwen2.KVCache,
+    rng, sampling: SamplingConfig, n_steps: int, eod_id: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, qwen2.KVCache]:
+    """Generate up to n_steps text tokens in ONE device dispatch (lax.scan).
+
+    Replaces per-token host round-trips (the reference's Python decode loop)
+    with an on-device segment: returns (tokens [B, n], hiddens [B, n, D],
+    done [B], kv). After eod, tokens repeat eod and the cache stops growing
+    (masked writes)."""
+    def step(carry, key):
+        tok, kv, done = carry
+        embeds = qwen2.embed_tokens(params["llm"], tok[:, None])
+        hidden, kv = qwen2.forward(params["llm"], cfg.llm, embeds,
+                                   (~done)[:, None], kv)
+        lg = qwen2.logits(params["llm"], cfg.llm, hidden[:, 0])
+        nxt = sample_top_k_top_p(key, lg, sampling.temperature, sampling.top_k,
+                                 sampling.top_p)
+        nxt = jnp.where(done, eod_id, nxt).astype(jnp.int32)
+        done = done | (nxt == eod_id)
+        return (nxt, kv, done), (nxt, hidden[:, 0])
+
+    B = token.shape[0]
+    done0 = jnp.zeros((B,), bool)
+    keys = jax.random.split(rng, n_steps)
+    (tok, kv, done), (toks, hiddens) = jax.lax.scan(
+        step, (token.astype(jnp.int32), kv, done0), keys)
+    return (jnp.swapaxes(toks, 0, 1), jnp.swapaxes(hiddens, 0, 1), done, kv)
+
+
 def prefill_and_sample(
     params, cfg: AudioLLMConfig, ids: jnp.ndarray, kv: qwen2.KVCache,
     rng, sampling: SamplingConfig,

@@ -74,8 +74,10 @@ def init_params(key, cfg: LLMConfig, dtype=jnp.bfloat16) -> dict:
     D = cfg.hidden
     keys = jax.random.split(key, 3)
     params = {
-        "embed": {"w": (jax.random.normal(keys[0], (cfg.vocab_size, D)) * 0.02
-                        ).astype(dtype)},
+        # generate directly in the target dtype: a [152k, 3584] f32 staging
+        # array would transiently cost 2.2 GB on-chip
+        "embed": {"w": jax.random.normal(keys[0], (cfg.vocab_size, D),
+                                         dtype=dtype) * jnp.asarray(0.02, dtype)},
         "layers": init_layer_stack(keys[2], cfg, cfg.num_layers, dtype),
         "final_norm": rms_norm_init(D, dtype),
     }
@@ -150,7 +152,9 @@ def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,
         d2 = x.shape[-1] // 2
         x1, x2 = x[..., :d2], x[..., d2:]
         rot = jnp.concatenate([-x2, x1], axis=-1)
-        return x * cos[:, :, None, :] + rot * sin[:, :, None, :]
+        # rotate in f32, return in the param dtype (keeps the scan carry stable)
+        y = x * cos[:, :, None, :] + rot * sin[:, :, None, :]
+        return y.astype(x.dtype)
 
     def layer_fn(x, inputs):
         lp, k_cache, v_cache = inputs  # caches: [B, S, Hkv, dk]

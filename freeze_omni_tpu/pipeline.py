@@ -76,6 +76,9 @@ class _Core:
             audio_llm.prefill_tokens, static_argnames=("cfg",))
         self._generate = jax.jit(
             audio_llm.generate_step, static_argnames=("cfg", "sampling"))
+        self._generate_segment = jax.jit(
+            audio_llm.generate_segment,
+            static_argnames=("cfg", "sampling", "n_steps", "eod_id"))
         self._prefill_sample = jax.jit(
             audio_llm.prefill_and_sample, static_argnames=("cfg", "sampling"))
 
@@ -170,6 +173,33 @@ class InferencePipeline:
             return out
 
         raise ValueError(f"unhandled stat {stat!r}")
+
+    def speech_dialogue_segment(self, outputs: dict, n_steps: int = 16) -> dict:
+        """TPU-native fast path for 'dialog_cs': generate up to n_steps tokens
+        in one on-device lax.scan dispatch instead of n per-token round trips.
+        Adds 'segment_tokens' (list) and 'segment_hiddens' ([1, k, D] numpy,
+        aligned with segment_tokens) to the outputs dict."""
+        core = self.core
+        caches: audio_llm.SessionCaches = outputs["caches"]
+        last = jnp.asarray([outputs["past_tokens"][-1]])
+        toks, hiddens, done, kv = core._generate_segment(
+            core.params, self.acfg, last, caches.kv, core.next_key(),
+            self.cfg.sampling, n_steps=n_steps, eod_id=core.tokenizer.eod_id)
+        toks = list(np.asarray(toks)[0])
+        hiddens = np.asarray(hiddens, np.float32)
+        eod = core.tokenizer.eod_id
+        if eod in toks:
+            k = toks.index(eod) + 1  # keep the eod token (stage flips below)
+            toks, hiddens = toks[:k], hiddens[:, :k]
+        past = outputs["past_tokens"] + [int(t) for t in toks]
+        new_stat = "dialog_sl" if past[-1] == eod else "dialog_cs"
+        out = dict(outputs)
+        out.update(stat=new_stat, caches=caches._replace(kv=kv),
+                   past_tokens=past,
+                   text=core.tokenizer.decode([t for t in past if t != eod]),
+                   segment_tokens=[int(t) for t in toks],
+                   segment_hiddens=hiddens)
+        return out
 
     def post_process(self, text: str) -> str:
         return post_process(text)

@@ -56,6 +56,8 @@ def find_min_seam(buffer: np.ndarray, syn: np.ndarray, N: int,
 class StreamingTTS:
     """hidden states + (optional) prefix -> streaming 24 kHz PCM segments."""
 
+    BUCKET = 32  # hidden/prefix frames are padded to multiples of this
+
     def __init__(self, params: dict, cfg: TTSConfig, seed: int = 0):
         """params: {'decoder': speech-decoder params, 'codec': codec params}."""
         self.params = params
@@ -67,6 +69,27 @@ class StreamingTTS:
         self._vocode = jax.jit(codec_mod.decode, static_argnames=("cfg",))
         self._global_tokens = jnp.asarray(
             np.array(cfg.codec.global_tokens, np.int32)[None, None, :])
+
+        def preamble(dparams, dcfg, hidden, h_mask, prefix, p_mask):
+            """pre-NN + prefix-KV + [bos, hidden] prefill, fused in one
+            dispatch (masked/bucketed shapes -> few compilations)."""
+            pre = sd.pre_nn(dparams, dcfg, hidden, h_mask)
+            bos = sd.embedding(dparams["embedding"],
+                               jnp.full((hidden.shape[0], 1), dcfg.bos_id))
+            block = jnp.concatenate([bos, pre], axis=1)
+            b_mask = jnp.concatenate(
+                [jnp.ones((hidden.shape[0], 1), bool), h_mask], axis=1)
+            cache = sd.init_cache(dcfg, hidden.shape[0])
+            if prefix is not None and dcfg.use_prefix_kv:
+                cache = sd.prefix_prefill(dparams, dcfg, prefix, p_mask, cache)
+            _, cache = sd.prefill(dparams, dcfg, block, b_mask, cache)
+            return cache
+
+        self._preamble = jax.jit(preamble, static_argnames=("dcfg",))
+        self._preamble_noprefix = jax.jit(
+            lambda dparams, dcfg, hidden, h_mask: preamble(
+                dparams, dcfg, hidden, h_mask, None, None),
+            static_argnames=("dcfg",))
 
     def _next_key(self):
         self._rng, k = jax.random.split(self._rng)
@@ -99,19 +122,26 @@ class StreamingTTS:
         padding = codec_padding_size or cfg.codec_padding_size
 
         dcfg = cfg.decoder
-        hidden = jnp.asarray(hidden)
-        pre = sd.pre_nn(self.params["decoder"], dcfg, hidden)
-        bos = sd.embedding(self.params["decoder"]["embedding"],
-                           jnp.full((1, 1), dcfg.bos_id))
-        block = jnp.concatenate([bos, pre], axis=1)
 
-        cache = sd.init_cache(dcfg, 1)
+        def bucket_pad(x):
+            x = np.asarray(x, np.float32)
+            t = x.shape[1]
+            tb = ((t + self.BUCKET - 1) // self.BUCKET) * self.BUCKET
+            mask = np.zeros((x.shape[0], tb), bool)
+            mask[:, :t] = True
+            if tb != t:
+                x = np.concatenate(
+                    [x, np.zeros((x.shape[0], tb - t, x.shape[2]), x.dtype)], 1)
+            return jnp.asarray(x), jnp.asarray(mask)
+
+        hidden, h_mask = bucket_pad(hidden)
         if prefix is not None and dcfg.use_prefix_kv:
-            prefix = jnp.asarray(prefix)
-            cache = sd.prefix_prefill(self.params["decoder"], dcfg, prefix,
-                                      jnp.ones(prefix.shape[:2], bool), cache)
-        _, cache = sd.prefill(self.params["decoder"], dcfg, block,
-                              jnp.ones(block.shape[:2], bool), cache)
+            prefix, p_mask = bucket_pad(prefix)
+            cache = self._preamble(self.params["decoder"], dcfg, hidden, h_mask,
+                                   prefix, p_mask)
+        else:
+            cache = self._preamble_noprefix(self.params["decoder"], dcfg,
+                                            hidden, h_mask)
 
         state = sd.init_decode_state(dcfg, cache,
                                      max(cfg.penalty_window_size, 1))
