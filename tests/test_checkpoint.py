@@ -1,0 +1,280 @@
+"""Checkpoint conversion + numerical parity against torch/HF reference math."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from freeze_omni_tpu.config import (AdapterConfig, EncoderConfig, LLMConfig,
+                                    SpeechDecoderConfig)
+from freeze_omni_tpu.models import adapter as adp
+from freeze_omni_tpu.models import encoder as enc
+from freeze_omni_tpu.models import qwen2
+from freeze_omni_tpu.utils import checkpoint as ckpt
+
+
+class TestQwen2HFParity:
+    """Our backbone must reproduce transformers' Qwen2 forward numerically."""
+
+    def _build(self):
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+
+        cfg = LLMConfig(hidden=64, num_layers=2, num_heads=4, num_kv_heads=2,
+                        ffn=128, vocab_size=100, rope_theta=1e6, max_kv_len=64)
+        hf_cfg = Qwen2Config(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, intermediate_size=128, vocab_size=100,
+            rope_theta=1e6, rms_norm_eps=1e-6, tie_word_embeddings=False,
+            attention_dropout=0.0)
+        torch.manual_seed(0)
+        hf = Qwen2ForCausalLM(hf_cfg).eval()
+        params = ckpt.convert_hf_qwen2(hf.state_dict(), cfg)
+        params = jax.tree.map(jnp.asarray, params)
+        return cfg, hf, params
+
+    def test_prefill_hidden_and_logits_match(self):
+        cfg, hf, params = self._build()
+        ids = torch.tensor([[5, 17, 42, 3, 99, 7]])
+        with torch.no_grad():
+            out = hf(input_ids=ids, output_hidden_states=True)
+        ref_hidden = out.hidden_states[-1].numpy()
+        ref_logits = out.logits.numpy()
+
+        cache = qwen2.init_cache(cfg, 1, dtype=jnp.float32)
+        embeds = qwen2.embed_tokens(params, jnp.asarray(ids.numpy()))
+        hidden, cache = qwen2.forward(params, cfg, embeds,
+                                      jnp.ones((1, 6), bool), cache)
+        logits = qwen2.logits(params, cfg, hidden)
+
+        np.testing.assert_allclose(np.asarray(hidden), ref_hidden,
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_incremental_decode_matches_hf_cache(self):
+        cfg, hf, params = self._build()
+        ids = torch.tensor([[5, 17, 42, 3]])
+        with torch.no_grad():
+            out = hf(input_ids=ids, use_cache=True)
+            step = hf(input_ids=torch.tensor([[7]]),
+                      past_key_values=out.past_key_values)
+        ref_logits = step.logits.numpy()[:, -1]
+
+        cache = qwen2.init_cache(cfg, 1, dtype=jnp.float32)
+        embeds = qwen2.embed_tokens(params, jnp.asarray(ids.numpy()))
+        _, cache = qwen2.forward(params, cfg, embeds, jnp.ones((1, 4), bool), cache)
+        e7 = qwen2.embed_tokens(params, jnp.asarray([[7]]))
+        h, cache = qwen2.forward(params, cfg, e7, jnp.ones((1, 1), bool), cache)
+        logits = qwen2.logits(params, cfg, h[:, 0])
+        np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                                   rtol=3e-4, atol=3e-4)
+
+
+class TestAdapterTorchParity:
+    def test_two_stage_conv_bn_matches_torch(self):
+        """Reference CNNSubsampling algebra (conv1 s1 + BN + relu, conv2 s2 +
+        BN + relu, linear), rebuilt in torch, must match our adapter step."""
+        cfg = AdapterConfig(enc_out_dim=8, llm_dim=64, kernel_size=5)
+        torch.manual_seed(1)
+        c1 = torch.nn.Conv1d(8, 16, 5, 1, 0)
+        b1 = torch.nn.BatchNorm1d(16, eps=1e-3, momentum=0.99).eval()
+        c2 = torch.nn.Conv1d(16, 32, 5, 2, 0)
+        b2 = torch.nn.BatchNorm1d(32, eps=1e-3, momentum=0.99).eval()
+        proj = torch.nn.Linear(32, 64)
+        # non-trivial running stats
+        b1.running_mean.normal_(); b1.running_var.uniform_(0.5, 2.0)
+        b2.running_mean.normal_(); b2.running_var.uniform_(0.5, 2.0)
+
+        x = torch.randn(2, 12, 8)
+        with torch.no_grad():
+            h = x.transpose(1, 2)
+            h = torch.nn.functional.pad(h, (4, 0))
+            h = torch.relu(b1(c1(h)))
+            h = torch.nn.functional.pad(h, (4, 0))
+            h = torch.relu(b2(c2(h)))
+            ref = proj(h.transpose(1, 2)).numpy()
+
+        sd = {}
+        for mod, name in [(c1, "conv1d1"), (b1, "bn1"), (c2, "conv1d2"),
+                          (b2, "bn2"), (proj, "project")]:
+            for k, v in mod.state_dict().items():
+                sd[f"{name}.{k}"] = v
+        params = jax.tree.map(jnp.asarray, ckpt.convert_adapter(sd, cfg, ""))
+        out = adp.forward(params, cfg, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+class TestEncoderTorchParity:
+    def test_rel_attention_block_matches_torch(self):
+        """One pre-LN rel-enc transformer block (attention.py:407-459 math,
+        rebuilt in torch) vs our streaming block on a fresh cache."""
+        cfg = EncoderConfig(input_dim=80, output_dim=16, attention_dim=16,
+                            attention_heads=2, linear_units=32, num_blocks=1,
+                            chunk_size=4, left_chunks=2, pe_max_len=256)
+        torch.manual_seed(2)
+        d, h, dk = 16, 2, 8
+        lq, lk, lv, lo = (torch.nn.Linear(d, d) for _ in range(4))
+        lpos = torch.nn.Linear(d, d, bias=False)
+        n1, n2 = torch.nn.LayerNorm(d), torch.nn.LayerNorm(d)
+        w1, w2 = torch.nn.Linear(d, 32), torch.nn.Linear(32, d)
+        bu = torch.randn(h, dk) * 0.1
+        bv = torch.randn(h, dk) * 0.1
+
+        T = 4
+        x = torch.randn(1, T, d)
+        pos = torch.arange(T, dtype=torch.float32)
+        div = torch.exp(torch.arange(0, d, 2, dtype=torch.float32)
+                        * -(math.log(10000.0) / d))
+        pe = torch.zeros(T, d)
+        pe[:, 0::2] = torch.sin(pos[:, None] * div)
+        pe[:, 1::2] = torch.cos(pos[:, None] * div)
+
+        with torch.no_grad():
+            hx = n1(x)
+            q = lq(hx).view(1, T, h, dk)
+            k = lk(hx).view(1, T, h, dk).transpose(1, 2)
+            v = lv(hx).view(1, T, h, dk).transpose(1, 2)
+            p = lpos(pe).view(T, h, dk).transpose(0, 1)  # [h, T, dk]
+            ac = torch.matmul((q + bu).transpose(1, 2), k.transpose(-2, -1))
+            bd = torch.matmul((q + bv).transpose(1, 2), p.transpose(-2, -1)[None])
+            attnw = torch.softmax((ac + bd) / math.sqrt(dk), dim=-1)
+            att = torch.matmul(attnw, v).transpose(1, 2).reshape(1, T, d)
+            y = x + lo(att)
+            y = y + w2(torch.relu(w1(n2(y))))
+            ref = y.numpy()
+
+        sd = {}
+        for mod, name in [(lq, "enc.1.encoders.0.self_attn.linear_q"),
+                          (lk, "enc.1.encoders.0.self_attn.linear_k"),
+                          (lv, "enc.1.encoders.0.self_attn.linear_v"),
+                          (lo, "enc.1.encoders.0.self_attn.linear_out"),
+                          (lpos, "enc.1.encoders.0.self_attn.linear_pos"),
+                          (n1, "enc.1.encoders.0.norm1"),
+                          (n2, "enc.1.encoders.0.norm2"),
+                          (w1, "enc.1.encoders.0.feed_forward.w_1"),
+                          (w2, "enc.1.encoders.0.feed_forward.w_2")]:
+            for kk, vv in mod.state_dict().items():
+                sd[f"{name}.{kk}"] = vv
+        sd["enc.1.encoders.0.self_attn.pos_bias_u"] = bu
+        sd["enc.1.encoders.0.self_attn.pos_bias_v"] = bv
+
+        import freeze_omni_tpu.models.encoder as enc_mod
+        from freeze_omni_tpu.models.layers import sinusoidal_pe
+
+        blocks = []
+        b = "enc.1.encoders.0"
+        blocks.append({
+            "ln1": ckpt._ln(sd, f"{b}.norm1"),
+            "q": ckpt._linear(sd, f"{b}.self_attn.linear_q"),
+            "k": ckpt._linear(sd, f"{b}.self_attn.linear_k"),
+            "v": ckpt._linear(sd, f"{b}.self_attn.linear_v"),
+            "o": ckpt._linear(sd, f"{b}.self_attn.linear_out"),
+            "pos": ckpt._linear(sd, f"{b}.self_attn.linear_pos", bias=False),
+            "bias_u": ckpt._t(sd[f"{b}.self_attn.pos_bias_u"]),
+            "bias_v": ckpt._t(sd[f"{b}.self_attn.pos_bias_v"]),
+            "ln2": ckpt._ln(sd, f"{b}.norm2"),
+            "ffn1": ckpt._linear(sd, f"{b}.feed_forward.w_1"),
+            "ffn2": ckpt._linear(sd, f"{b}.feed_forward.w_2"),
+        })
+        bp = jax.tree.map(jnp.asarray, blocks[0])
+
+        xj = jnp.asarray(x.numpy())
+        hj = enc_mod.layer_norm(bp["ln1"], xj)
+        kj = enc_mod.linear(bp["k"], hj).reshape(1, T, h, dk)
+        vj = enc_mod.linear(bp["v"], hj).reshape(1, T, h, dk)
+        pos_emb = sinusoidal_pe(jnp.arange(T), d)
+        att = enc_mod._rel_attention(bp, hj, kj, vj, pos_emb, None, cfg)
+        yj = xj + att
+        yj = yj + enc_mod._ffn(bp, enc_mod.layer_norm(bp["ln2"], yj))
+        np.testing.assert_allclose(np.asarray(yj), ref, rtol=2e-4, atol=2e-4)
+
+
+class TestConversionStructure:
+    def test_audiollm_conversion_structure(self):
+        """Synthesized reference-named state_dict converts into pytrees whose
+        structure matches random init exactly."""
+        ecfg = EncoderConfig(input_dim=80, output_dim=16, attention_dim=16,
+                             attention_heads=2, linear_units=32, num_blocks=2)
+        acfg = AdapterConfig(enc_out_dim=16, llm_dim=128, kernel_size=5)
+        from freeze_omni_tpu.config import AudioLLMConfig
+
+        cfg = AudioLLMConfig(encoder=ecfg, adapter=acfg,
+                             llm=LLMConfig(hidden=128, num_layers=1, num_heads=2,
+                                           num_kv_heads=1, ffn=64, vocab_size=64))
+        sd = {}
+        f_sub = ((80 - 1) // 2 - 1) // 2
+        for who in ("encoder_user", "encoder_system"):
+            sd[f"{who}.global_cmvn.mean"] = np.zeros(80)
+            sd[f"{who}.global_cmvn.istd"] = np.ones(80)
+            sd[f"{who}.enc.0.core.conv.0.weight"] = np.zeros((16, 1, 3, 3))
+            sd[f"{who}.enc.0.core.conv.0.bias"] = np.zeros(16)
+            sd[f"{who}.enc.0.core.conv.2.weight"] = np.zeros((16, 16, 3, 3))
+            sd[f"{who}.enc.0.core.conv.2.bias"] = np.zeros(16)
+            sd[f"{who}.enc.0.core.out.0.weight"] = np.zeros((16, 16 * f_sub))
+            sd[f"{who}.enc.0.core.out.0.bias"] = np.zeros(16)
+            sd[f"{who}.enc.1.embed.0.weight"] = np.zeros((16, 16))
+            sd[f"{who}.enc.1.embed.0.bias"] = np.zeros(16)
+            sd[f"{who}.enc.1.embed.1.weight"] = np.ones(16)
+            sd[f"{who}.enc.1.embed.1.bias"] = np.zeros(16)
+            sd[f"{who}.enc.1.after_norm.weight"] = np.ones(16)
+            sd[f"{who}.enc.1.after_norm.bias"] = np.zeros(16)
+            for i in range(2):
+                b = f"{who}.enc.1.encoders.{i}"
+                for nm, shape in [
+                    ("self_attn.linear_q", (16, 16)), ("self_attn.linear_k", (16, 16)),
+                    ("self_attn.linear_v", (16, 16)), ("self_attn.linear_out", (16, 16)),
+                ]:
+                    sd[f"{b}.{nm}.weight"] = np.zeros(shape)
+                    sd[f"{b}.{nm}.bias"] = np.zeros(16)
+                sd[f"{b}.self_attn.linear_pos.weight"] = np.zeros((16, 16))
+                sd[f"{b}.self_attn.pos_bias_u"] = np.zeros((2, 8))
+                sd[f"{b}.self_attn.pos_bias_v"] = np.zeros((2, 8))
+                for nm in ("norm1", "norm2"):
+                    sd[f"{b}.{nm}.weight"] = np.ones(16)
+                    sd[f"{b}.{nm}.bias"] = np.zeros(16)
+                sd[f"{b}.feed_forward.w_1.weight"] = np.zeros((32, 16))
+                sd[f"{b}.feed_forward.w_1.bias"] = np.zeros(32)
+                sd[f"{b}.feed_forward.w_2.weight"] = np.zeros((16, 32))
+                sd[f"{b}.feed_forward.w_2.bias"] = np.zeros(16)
+        for who in ("adpter_user", "adpter_system"):
+            sd[f"{who}.conv1d1.weight"] = np.zeros((32, 16, 5))
+            sd[f"{who}.conv1d1.bias"] = np.zeros(32)
+            for bn, c in (("bn1", 32), ("bn2", 64)):
+                sd[f"{who}.{bn}.weight"] = np.ones(c)
+                sd[f"{who}.{bn}.bias"] = np.zeros(c)
+                sd[f"{who}.{bn}.running_mean"] = np.zeros(c)
+                sd[f"{who}.{bn}.running_var"] = np.ones(c)
+            sd[f"{who}.conv1d2.weight"] = np.zeros((64, 32, 5))
+            sd[f"{who}.conv1d2.bias"] = np.zeros(64)
+            sd[f"{who}.project.weight"] = np.zeros((128, 64))
+            sd[f"{who}.project.bias"] = np.zeros(128)
+        sd["predictor_head.weight"] = np.zeros((4, 128))
+        sd["predictor_head.bias"] = np.zeros(4)
+
+        converted = ckpt.convert_audiollm(sd, cfg)
+        import freeze_omni_tpu.models.encoder as enc_mod
+
+        template = enc_mod.init_params(jax.random.PRNGKey(0), ecfg)
+        t_struct = jax.tree.structure(template)
+        c_struct = jax.tree.structure(converted["encoder_user"])
+        assert t_struct == c_struct
+        # shapes line up with init
+        jax.tree.map(lambda a, b: None if a.shape == b.shape else
+                     pytest.fail(f"{a.shape} vs {b.shape}"),
+                     template, converted["encoder_user"])
+
+    def test_orbax_roundtrip(self, tmp_path):
+        from freeze_omni_tpu.models import speech_decoder as sdm
+
+        cfg = SpeechDecoderConfig(idim=32, hidden=32, num_layers=2, num_heads=2,
+                                  ffn=64, codec_vocab=16, max_kv_len=32)
+        params = sdm.init_params(jax.random.PRNGKey(0), cfg)
+        path = str(tmp_path / "ckpt")
+        ckpt.save_native(path, params)
+        like = jax.tree.map(np.zeros_like, params)
+        restored = ckpt.load_native(path, like)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), params, restored)
