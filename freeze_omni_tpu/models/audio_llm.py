@@ -100,17 +100,43 @@ def state_head(params, hidden_last: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softmax(logits[..., :-1], axis=-1)
 
 
+def _where_batch(active: jnp.ndarray, new, old, axis: int):
+    shape = [1] * new.ndim
+    shape[axis] = active.shape[0]
+    return jnp.where(active.reshape(shape), new, old)
+
+
+def _select_encoder_state(active, new, old):
+    return encoder_mod.EncoderState(
+        k_cache=_where_batch(active, new.k_cache, old.k_cache, 1),
+        v_cache=_where_batch(active, new.v_cache, old.v_cache, 1),
+        valid=jnp.where(active, new.valid, old.valid),
+        pe_index=jnp.where(active, new.pe_index, old.pe_index),
+    )
+
+
+def _select_adapter_state(active, new, old):
+    return adapter_mod.AdapterState(
+        c1=None if new.c1 is None else _where_batch(active, new.c1, old.c1, 0),
+        c2=_where_batch(active, new.c2, old.c2, 0),
+    )
+
+
 def recognize_step(
     params, cfg: AudioLLMConfig, identity: str,
     fbank_chunk: jnp.ndarray,        # [B, T_f, 80]
     is_sl: jnp.ndarray,              # [B] bool — chunk starts an IPU
     prefix_embeds: jnp.ndarray,      # [P, D] chat-template prefix for identity
     caches: SessionCaches,
+    active=None,                     # [B] bool — continuous-batching gate
 ) -> Tuple[jnp.ndarray, SessionCaches]:
     """One audio chunk through encoder -> adapter -> LLM prefill -> state head.
 
     Returns ([B, 3] state probs — meaningful only for identity='user', matching
-    do_prediction at audioLLM.py:393-397 — and updated caches)."""
+    do_prediction at audioLLM.py:393-397 — and updated caches). With `active`,
+    rows where active=False leave every cache untouched and return garbage
+    probs — this is how the serving runtime batches sessions whose chunks
+    arrive on different ticks."""
     if identity == "user":
         enc_p, adp_p = params["encoder_user"], params["adapter_user"]
         enc_s, adp_s = caches.enc_user, caches.adp_user
@@ -120,10 +146,16 @@ def recognize_step(
     else:
         raise ValueError(f"unknown identity {identity!r}")
 
-    enc_out, enc_s = encoder_mod.stream_step(enc_p, cfg.encoder, fbank_chunk, enc_s)
-    embeds, adp_s = adapter_mod.step(adp_p, cfg.adapter, enc_out, adp_s)
+    enc_out, enc_s_new = encoder_mod.stream_step(enc_p, cfg.encoder,
+                                                 fbank_chunk, enc_s)
+    embeds, adp_s_new = adapter_mod.step(adp_p, cfg.adapter, enc_out, adp_s)
     B, T, D = embeds.shape
     P = prefix_embeds.shape[0]
+
+    if active is not None:
+        enc_s_new = _select_encoder_state(active, enc_s_new, enc_s)
+        adp_s_new = _select_adapter_state(active, adp_s_new, adp_s)
+    enc_s, adp_s = enc_s_new, adp_s_new
 
     # chat-template prefix splice on IPU start (audioLLM.py:403-406): the prefix
     # occupies the first P slots; validity-masked so non-sl chunks skip it
@@ -134,9 +166,11 @@ def recognize_step(
     mask = jnp.concatenate(
         [jnp.broadcast_to(is_sl[:, None], (B, P)),
          jnp.ones((B, T), bool)], axis=1)
+    if active is not None:
+        mask = mask & active[:, None]   # inactive rows write nothing to KV
 
     hidden, kv = qwen2.forward(params["llm"], cfg.llm, full, mask, caches.kv)
-    last = qwen2.last_valid_index(mask)  # [B]
+    last = jnp.maximum(qwen2.last_valid_index(mask), 0)  # [B]
     hidden_last = jnp.take_along_axis(hidden, last[:, None, None], axis=1)[:, 0]
     probs = state_head(params, hidden_last)
 

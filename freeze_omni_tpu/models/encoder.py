@@ -40,8 +40,8 @@ class EncoderState(NamedTuple):
 
     k_cache: jnp.ndarray  # [L, B, window, H, dk] time-ordered, right-aligned
     v_cache: jnp.ndarray  # [L, B, window, H, dk]
-    valid: jnp.ndarray    # [] int32 — number of valid cached frames
-    pe_index: jnp.ndarray  # [] int32 — streaming PE cursor
+    valid: jnp.ndarray    # [B] int32 — number of valid cached frames
+    pe_index: jnp.ndarray  # [B] int32 — streaming PE cursor
 
 
 def init_state(cfg: EncoderConfig, batch: int = 1, dtype=jnp.float32) -> EncoderState:
@@ -49,8 +49,8 @@ def init_state(cfg: EncoderConfig, batch: int = 1, dtype=jnp.float32) -> Encoder
     return EncoderState(
         k_cache=jnp.zeros(shape, dtype),
         v_cache=jnp.zeros(shape, dtype),
-        valid=jnp.zeros((), jnp.int32),
-        pe_index=jnp.zeros((), jnp.int32),
+        valid=jnp.zeros((batch,), jnp.int32),
+        pe_index=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -132,15 +132,20 @@ def _embed(params, x):
 def _rel_attention(bp, x_q, k_all, v_all, pos_emb, mask, cfg: EncoderConfig):
     """Relative-position MHA over an explicit key buffer.
 
-    x_q: [B, T, d]; k_all/v_all: [B, S, H, dk]; pos_emb: [S, d];
+    x_q: [B, T, d]; k_all/v_all: [B, S, H, dk]; pos_emb: [S, d] (shared) or
+    [B, S, d] (per-batch streaming positions);
     mask: [B, 1, T, S] or None. Returns [B, T, d]."""
     B, T, d = x_q.shape
     H, dk = cfg.attention_heads, cfg.head_dim
     q = linear(bp["q"], x_q).reshape(B, T, H, dk)
-    p = linear(bp["pos"], pos_emb).reshape(-1, H, dk)  # [S, H, dk]
 
     ac = jnp.einsum("bthd,bshd->bhts", q + bp["bias_u"], k_all)
-    bd = jnp.einsum("bthd,shd->bhts", q + bp["bias_v"], p)
+    if pos_emb.ndim == 2:
+        p = linear(bp["pos"], pos_emb).reshape(-1, H, dk)  # [S, H, dk]
+        bd = jnp.einsum("bthd,shd->bhts", q + bp["bias_v"], p)
+    else:
+        p = linear(bp["pos"], pos_emb).reshape(B, -1, H, dk)  # [B, S, H, dk]
+        bd = jnp.einsum("bthd,bshd->bhts", q + bp["bias_v"], p)
     scores = (ac + bd) / math.sqrt(dk)
     attn = masked_softmax(scores, mask)
     out = jnp.einsum("bhts,bshd->bthd", attn, v_all).reshape(B, T, d)
@@ -211,7 +216,8 @@ def stream_step(params, cfg: EncoderConfig, xs: jnp.ndarray,
     Matches speechEncoder.infer -> Transformer.infer -> MultiHeadedAttention.infer
     (encoder.py:149-155, transformer.py:266-285, attention.py:407-459): queries
     attend over cached-window + current chunk with *no* intra-chunk causal mask;
-    the cache then retains the most recent `window` keys."""
+    the cache then retains the most recent `window` keys. valid/pe_index are
+    per-batch so sessions at different lifetimes batch together."""
     xs = (xs - params["cmvn"]["mean"]) * params["cmvn"]["istd"]
     x = _subsample(params["sub"], xs)
     x = _embed(params["embed"], x)
@@ -221,16 +227,16 @@ def stream_step(params, cfg: EncoderConfig, xs: jnp.ndarray,
     cap = cfg.window
     S = cap + T
 
-    # --- streaming positional encoding (attention.py:105-121) ---
-    pe_idx = jnp.mod(state.pe_index, cfg.pe_wrap)
-    start = jnp.maximum(0, pe_idx - cfg.full_chunk_size)
-    valid = jnp.minimum(state.valid, cap)
+    # --- streaming positional encoding (attention.py:105-121), per batch ---
+    pe_idx = jnp.mod(state.pe_index, cfg.pe_wrap)                 # [B]
+    start = jnp.maximum(0, pe_idx - cfg.full_chunk_size)          # [B]
+    valid = jnp.minimum(state.valid, cap)                         # [B]
     # slot s holds key number j = s - (cap - valid); its position is start + j
-    slot = jnp.arange(S)
-    positions = start + slot - (cap - valid)
-    pos_emb = sinusoidal_pe(positions, d)  # [S, d] (invalid rows masked below)
-    keep = (slot >= (cap - valid))  # [S]
-    mask = keep[None, None, None, :]  # [B, H, T, S] broadcast
+    slot = jnp.arange(S)[None, :]                                 # [1, S]
+    positions = start[:, None] + slot - (cap - valid)[:, None]    # [B, S]
+    pos_emb = sinusoidal_pe(positions.reshape(-1), d).reshape(B, S, d)
+    keep = slot >= (cap - valid)[:, None]                         # [B, S]
+    mask = keep[:, None, None, :]                                 # [B, H, T, S]
 
     H, dk = cfg.attention_heads, cfg.head_dim
 

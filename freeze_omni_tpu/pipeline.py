@@ -257,7 +257,7 @@ class DuplexPipeline:
 
         # pe_index lives inside EncoderState now; returned for API parity
         return (prediction, caches.kv, adp_state, enc_state,
-                int(np.asarray(enc_state.pe_index)))
+                int(np.asarray(enc_state.pe_index)[0]))
 
     def post_process(self, text: str) -> str:
         return post_process(text)

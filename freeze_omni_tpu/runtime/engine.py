@@ -1,0 +1,154 @@
+"""Continuous-batching serving engine.
+
+Replaces the reference's replica pools (bin/pool.py: N model copies, each
+pinned to users) with ONE resident (optionally TP-sharded) model whose
+per-session caches live batched in a SessionStore. Every tick runs at most two
+compiled steps (one per identity — user and system use different encoder/
+adapter weights, audioLLM.py:67-68,166): sessions with a pending 224 ms chunk
+are gathered into the batch with an `active` mask; everyone else's caches pass
+through untouched. This serves max_sessions concurrent duplex streams per chip
+with decode-step batching, the SURVEY §2.3 TPU-native design.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..models import audio_llm, qwen2
+from ..pipeline import _Core
+from .session import SessionStore
+
+IDENTITIES = ("user", "system")
+
+
+class ServingEngine:
+    def __init__(self, cfg: SystemConfig, params: Optional[dict] = None,
+                 tokenizer=None, seed: int = 0, kv_dtype=jnp.float32):
+        self.cfg = cfg
+        self.core = _Core(cfg, params, tokenizer, seed)
+        self.store = SessionStore(cfg.audio_llm, cfg.serving.max_sessions,
+                                  kv_dtype)
+        self._recognize = jax.jit(
+            audio_llm.recognize_step, static_argnames=("cfg", "identity"))
+        self._lock = threading.Lock()
+        # pending chunk per (identity, slot): (fbank [1,T,80], is_sl)
+        self._pending: Dict[str, Dict[int, Tuple[np.ndarray, bool]]] = {
+            i: {} for i in IDENTITIES}
+        self._callbacks: Dict[int, Callable[[str, dict], None]] = {}
+        self._role_kv_cache: Dict[str, qwen2.KVCache] = {}
+
+    # ------------------------------------------------------------------
+    # session management
+    # ------------------------------------------------------------------
+
+    def open_session(self, sid: str, role: Optional[str] = None,
+                     on_prediction: Optional[Callable] = None) -> int:
+        role = role or self.cfg.duplex.default_prompt
+        if role not in self._role_kv_cache:
+            self._role_kv_cache[role] = self.core.role_kv(role)
+        with self._lock:
+            slot = self.store.alloc(sid, self._role_kv_cache[role])
+            if on_prediction is not None:
+                self._callbacks[slot] = on_prediction
+        return slot
+
+    def close_session(self, sid: str) -> None:
+        with self._lock:
+            slot = self.store.slot_of(sid)
+            self._callbacks.pop(slot, None)
+            for i in IDENTITIES:
+                self._pending[i].pop(slot, None)
+            self.store.free(sid)
+
+    @property
+    def num_active(self) -> int:
+        return len(self.store.active_sids)
+
+    # ------------------------------------------------------------------
+    # serving
+    # ------------------------------------------------------------------
+
+    def submit_chunk(self, sid: str, identity: str, fbank_chunk: np.ndarray,
+                     is_sl: bool) -> None:
+        """fbank_chunk: [1, T_f, 80]. One chunk per (session, identity, tick);
+        a second submit before the tick overwrites (the reference's serializer
+        guarantees ordering upstream)."""
+        slot = self.store.slot_of(sid)
+        with self._lock:
+            self._pending[identity][slot] = (np.asarray(fbank_chunk, np.float32),
+                                             bool(is_sl))
+
+    def tick(self) -> Dict[str, Dict[int, dict]]:
+        """Run one batched step per identity with pending work. Returns
+        {identity: {slot: {'state_1','state_2'}}} for user predictions."""
+        results: Dict[str, Dict[int, dict]] = {}
+        for identity in IDENTITIES:
+            with self._lock:
+                pending = self._pending[identity]
+                self._pending[identity] = {}
+            if not pending:
+                continue
+            B = self.store.max_sessions
+            t_f = next(iter(pending.values()))[0].shape[1]
+            chunks = np.zeros((B, t_f, pending[next(iter(pending))][0].shape[2]),
+                              np.float32)
+            active = np.zeros((B,), bool)
+            is_sl = np.zeros((B,), bool)
+            for slot, (c, sl) in pending.items():
+                chunks[slot] = c[0]
+                active[slot] = True
+                is_sl[slot] = sl
+            prefix = (self.core.user_prefix_embeds if identity == "user"
+                      else self.core.system_prefix_embeds)
+            probs, caches = self._recognize(
+                self.core.params, self.cfg.audio_llm, identity,
+                jnp.asarray(chunks), jnp.asarray(is_sl), prefix,
+                self.store.caches, active=jnp.asarray(active))
+            self.store.caches = caches
+            if identity == "user":
+                probs = np.asarray(probs)
+                out = {}
+                for slot in pending:
+                    pred = {"state_1": float(probs[slot, 1]),
+                            "state_2": float(probs[slot, 2])}
+                    out[slot] = pred
+                    cb = self._callbacks.get(slot)
+                    if cb is not None:
+                        cb(identity, pred)
+                results[identity] = out
+        return results
+
+
+class PipelinePool:
+    """API-parity facade for bin/pool.py's pipelineObjectPool (acquire by least
+    user-count, release decrements), backed by ONE ServingEngine — pool
+    semantics preserved, replica copies eliminated."""
+
+    class _Handle:
+        def __init__(self, engine: ServingEngine, idx: int):
+            self.pipeline_proc = engine
+            self.user_count = 0
+            self.id = f"serving-engine-{idx}"
+
+    def __init__(self, size: int, cfg: SystemConfig, params=None, **kw):
+        engine = ServingEngine(cfg, params, **kw)
+        self.pool = [self._Handle(engine, i) for i in range(size)]
+
+    def acquire(self):
+        h = min(self.pool, key=lambda o: o.user_count)
+        h.user_count += 1
+        return h
+
+    def release(self, obj) -> None:
+        if obj.user_count > 0:
+            obj.user_count -= 1
+
+    def print_info(self) -> None:
+        for i, o in enumerate(self.pool):
+            print(f"Pipeline Object {i} user count: {o.user_count}")

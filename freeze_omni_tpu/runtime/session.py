@@ -1,0 +1,96 @@
+"""Session store: batched per-user caches with slot allocation.
+
+The reference externalizes every per-user cache so any replica can serve any
+chunk ("Model as a Server", models/pipeline.py:36-44, bin/pool.py). The
+TPU-native equivalent keeps ONE resident model and batches all sessions' caches
+along a leading axis: a slot allocator maps session ids to rows of a single
+`SessionCaches` pytree; per-slot reset re-initializes one row functionally.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AudioLLMConfig
+from ..models import audio_llm, qwen2
+
+
+def _set_row(tree_new_row, tree_batched, slot: int, batch_axes):
+    """Write one row of a batched pytree. batch_axes mirrors the tree with the
+    batch-axis index per leaf."""
+    return jax.tree.map(
+        lambda row, full, ax: jax.lax.dynamic_update_index_in_dim(
+            full, row.astype(full.dtype), slot, ax),
+        tree_new_row, tree_batched, batch_axes)
+
+
+def session_batch_axes(caches: audio_llm.SessionCaches):
+    """Batch-axis index for each leaf of SessionCaches."""
+    def enc_axes(st):
+        return type(st)(k_cache=1, v_cache=1, valid=0, pe_index=0)
+
+    def adp_axes(st):
+        return type(st)(c1=None if st.c1 is None else 0, c2=0)
+
+    return audio_llm.SessionCaches(
+        enc_user=enc_axes(caches.enc_user),
+        adp_user=adp_axes(caches.adp_user),
+        enc_system=enc_axes(caches.enc_system),
+        adp_system=adp_axes(caches.adp_system),
+        kv=qwen2.KVCache(k=1, v=1, length=0),
+    )
+
+
+class SessionStore:
+    def __init__(self, cfg: AudioLLMConfig, max_sessions: int,
+                 kv_dtype=jnp.float32):
+        self.cfg = cfg
+        self.max_sessions = max_sessions
+        self.caches = audio_llm.init_session(cfg, max_sessions, kv_dtype)
+        self._axes = session_batch_axes(self.caches)
+        self._row_template = audio_llm.init_session(cfg, 1, kv_dtype)
+        self._free: List[int] = list(range(max_sessions))
+        self._slots: Dict[str, int] = {}
+
+    def alloc(self, sid: str, role_kv: Optional[qwen2.KVCache] = None) -> int:
+        """Claim a slot; optionally seed its LLM KV row from a system-role
+        prefill (a batch-1 KVCache)."""
+        if sid in self._slots:
+            return self._slots[sid]
+        if not self._free:
+            raise RuntimeError("no free session slots")
+        slot = self._free.pop(0)
+        self._slots[sid] = slot
+        self.reset_slot(slot, role_kv)
+        return slot
+
+    def free(self, sid: str) -> None:
+        slot = self._slots.pop(sid, None)
+        if slot is not None:
+            self._free.append(slot)
+
+    def slot_of(self, sid: str) -> int:
+        return self._slots[sid]
+
+    @property
+    def active_sids(self):
+        return list(self._slots)
+
+    def reset_slot(self, slot: int, role_kv: Optional[qwen2.KVCache] = None) -> None:
+        row = self._row_template
+        if role_kv is not None:
+            # seed the KV row: copy the role prefill into position 0..len
+            row = row._replace(kv=role_kv)
+        # squeeze the batch-1 row to unbatched leaves for dynamic_update
+        def squeeze(leaf, ax):
+            return jnp.take(leaf, 0, axis=ax) if ax is not None else leaf
+
+        row_sq = jax.tree.map(lambda l, a: squeeze(l, a), row, self._axes)
+        self.caches = _set_row(row_sq, self.caches, slot, self._axes)
+
+    def kv_length(self, slot: int) -> int:
+        return int(np.asarray(self.caches.kv.length)[slot])

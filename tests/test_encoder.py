@@ -94,7 +94,7 @@ class TestStreamingEncoder:
         out, state2 = enc.stream_step(params, cfg, jnp.zeros((2, 19, 80)), state)
         assert out.shape == (2, 4, 32)
         assert state2.k_cache.shape == (2, 2, cfg.window, 4, 8)
-        assert int(state2.valid) == 4 and int(state2.pe_index) == 4
+        assert int(state2.valid[0]) == 4 and int(state2.pe_index[0]) == 4
         # duplex window: 32 fbank frames -> 7 encoder frames
         out, _ = enc.stream_step(params, cfg, jnp.zeros((2, 32, 80)), state)
         assert out.shape == (2, 7, 32)

@@ -1,0 +1,111 @@
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from freeze_omni_tpu.config import tiny_system
+from freeze_omni_tpu.models import audio_llm
+from freeze_omni_tpu.pipeline import DuplexPipeline
+from freeze_omni_tpu.runtime.engine import PipelinePool, ServingEngine
+from freeze_omni_tpu.runtime.session import SessionStore
+
+
+def _chunks(seed, n, t=32):
+    rng = np.random.RandomState(seed)
+    return [rng.randn(1, t, 80).astype(np.float32) for _ in range(n)]
+
+
+class TestSessionStore:
+    def test_alloc_free_reset(self):
+        cfg = tiny_system()
+        store = SessionStore(cfg.audio_llm, max_sessions=2)
+        a = store.alloc("a")
+        b = store.alloc("b")
+        assert {a, b} == {0, 1}
+        with pytest.raises(RuntimeError):
+            store.alloc("c")
+        store.free("a")
+        c = store.alloc("c")
+        assert c == a
+        assert store.kv_length(c) == 0
+
+
+class TestServingEngine:
+    def test_batched_sessions_match_solo_pipeline(self):
+        """Two sessions with staggered chunk arrival through the continuous-
+        batching engine must produce the same state probabilities as each
+        session alone through the plain pipeline (same params)."""
+        cfg = tiny_system()
+        engine = ServingEngine(cfg, seed=0)
+        role = "Batching parity test."
+        engine.open_session("s1", role=role)
+        engine.open_session("s2", role=role)
+
+        a_chunks = _chunks(1, 3)
+        b_chunks = _chunks(2, 2)
+
+        engine.submit_chunk("s1", "user", a_chunks[0], is_sl=True)
+        r1 = engine.tick()["user"]
+        engine.submit_chunk("s1", "user", a_chunks[1], is_sl=False)
+        engine.submit_chunk("s2", "user", b_chunks[0], is_sl=True)
+        r2 = engine.tick()["user"]
+        engine.submit_chunk("s1", "user", a_chunks[2], is_sl=False)
+        engine.submit_chunk("s2", "user", b_chunks[1], is_sl=False)
+        r3 = engine.tick()["user"]
+
+        s1 = engine.store.slot_of("s1")
+        s2 = engine.store.slot_of("s2")
+        got_s1 = [r1[s1], r2[s1], r3[s1]]
+        got_s2 = [r2[s2], r3[s2]]
+
+        # solo reference runs with the same params
+        pipe = DuplexPipeline(cfg, core=engine.core)
+        for chunks, got in ((a_chunks, got_s1), (b_chunks, got_s2)):
+            _, kv, adp, enc, pe = pipe.speech_dialogue(
+                None, identity="", status="pre", role=role)
+            for i, (c, g) in enumerate(zip(chunks, got)):
+                pred, kv, adp, enc, pe = pipe.speech_dialogue(
+                    c, "user", "ipu_sl" if i == 0 else "ipu_cl",
+                    past_key_values=kv, adapter_cache=adp,
+                    encoder_cache=enc, pe_index=pe)
+                assert abs(pred["state_1"] - g["state_1"]) < 1e-4, (i, pred, g)
+                assert abs(pred["state_2"] - g["state_2"]) < 1e-4
+
+    def test_both_identities_and_close(self):
+        cfg = tiny_system()
+        engine = ServingEngine(cfg, seed=0)
+        engine.open_session("s1")
+        len0 = engine.store.kv_length(engine.store.slot_of("s1"))
+        engine.submit_chunk("s1", "user", _chunks(3, 1)[0], is_sl=True)
+        engine.submit_chunk("s1", "system", _chunks(4, 1)[0], is_sl=True)
+        out = engine.tick()
+        assert "user" in out and "system" not in out  # system: no predictions
+        grew = engine.store.kv_length(engine.store.slot_of("s1")) - len0
+        # user prefix + 4 + system prefix + 4
+        core = engine.core
+        assert grew == 8 + len(core.chat.user_prefix_ids) + \
+            len(core.chat.system_prefix_ids)
+        engine.close_session("s1")
+        assert engine.num_active == 0
+
+    def test_callbacks(self):
+        cfg = tiny_system()
+        engine = ServingEngine(cfg, seed=0)
+        seen = []
+        engine.open_session("s1", on_prediction=lambda ident, p: seen.append(p))
+        engine.submit_chunk("s1", "user", _chunks(5, 1)[0], is_sl=True)
+        engine.tick()
+        assert len(seen) == 1 and 0 <= seen[0]["state_1"] <= 1
+
+
+class TestPipelinePool:
+    def test_pool_api_parity(self):
+        cfg = tiny_system()
+        pool = PipelinePool(size=1, cfg=cfg)
+        h1 = pool.acquire()
+        h2 = pool.acquire()
+        assert h1 is h2 and h1.user_count == 2
+        pool.release(h1)
+        assert h1.user_count == 1
+        assert isinstance(h1.pipeline_proc, ServingEngine)
