@@ -1,0 +1,153 @@
+"""Duplex dialog-state server.
+
+Fills the role of the reference's absent `bin/server.py` (referenced by
+scripts/run_demo_server.sh:22): a websocket server that hosts duplex sessions
+and streams the monitoring-GUI event catalog (ENHANCED_DEMO.md — VAD state
+updates, VAD events, dialog-state updates, dialog_ss callbacks) as JSON
+messages instead of Socket.IO.
+
+Protocol (JSON messages):
+  client -> server:
+    {"type": "start_session", "sid": str, "role": str?}
+    {"type": "audio", "identity": "user"|"system", "pcm_b64": <s16le b64>,
+     "sr": 16000, "time_stamp": float?}
+    {"type": "reset"} | {"type": "stop"}
+  server -> client:
+    {"event": "session_ready", "sid": ...}
+    {"event": "vad_state_update"|"vad_event"|"dialog_state_update"|
+     "dialog_ss_callback", ...payload}
+
+Run: python -m freeze_omni_tpu.bin.serve --preset tiny --port 8765
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import json
+import sys
+import threading
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="freeze-omni-tpu duplex server")
+    p.add_argument("--preset", default="flagship", choices=["tiny", "flagship"])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--max_sessions", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--timeout", type=float, default=None,
+                   help="stop serving after N seconds (for smoke tests)")
+    return p.parse_args(argv)
+
+
+class Server:
+    def __init__(self, args):
+        from ..config import flagship_system, tiny_system
+        from ..pipeline import DuplexPipeline
+
+        self.args = args
+        self.cfg = tiny_system() if args.preset == "tiny" else flagship_system()
+        self.pipeline = DuplexPipeline(self.cfg, seed=args.seed)
+        self.sessions = {}
+
+    async def handler(self, ws):
+        from ..duplex.engine import DuplexSession
+        from ..duplex.events import EventSink
+
+        loop = asyncio.get_running_loop()
+        outbox: "asyncio.Queue" = asyncio.Queue()
+        sink = EventSink()
+        for ev in sink.EVENTS:
+            def fwd(payload, ev=ev):
+                try:
+                    loop.call_soon_threadsafe(
+                        outbox.put_nowait, {"event": ev, **_jsonable(payload)})
+                except RuntimeError:
+                    pass
+            sink.on(ev, fwd)
+
+        session = None
+        sender = asyncio.create_task(self._sender(ws, outbox))
+        try:
+            async for raw in ws:
+                msg = json.loads(raw)
+                t = msg.get("type")
+                if t == "start_session":
+                    if session is not None:
+                        session.release()
+                    session = DuplexSession(
+                        self.pipeline, self.cfg, sink=sink,
+                        sid=msg.get("sid", ""))
+                    session.warmup()
+                    session.start()
+                    await ws.send(json.dumps(
+                        {"event": "session_ready", "sid": msg.get("sid", "")}))
+                elif t == "audio":
+                    if session is None:
+                        await ws.send(json.dumps(
+                            {"event": "error", "message": "no session"}))
+                        continue
+                    pcm = base64.b64decode(msg["pcm_b64"])
+                    session.enqueue_audio_data(msg["identity"], {
+                        "audio": pcm, "sr": msg.get("sr", 16000),
+                        "enc": "s16le", "time_stamp": msg.get("time_stamp")})
+                elif t == "reset":
+                    if session is not None:
+                        session.reset_context()
+                        await ws.send(json.dumps({"event": "reset_done"}))
+                elif t == "stop":
+                    break
+                else:
+                    await ws.send(json.dumps(
+                        {"event": "error", "message": f"unknown type {t!r}"}))
+        finally:
+            sender.cancel()
+            if session is not None:
+                session.release()
+
+    async def _sender(self, ws, outbox):
+        while True:
+            msg = await outbox.get()
+            try:
+                await ws.send(json.dumps(msg))
+            except Exception:
+                return
+
+    async def run(self):
+        import websockets
+
+        async with websockets.serve(self.handler, self.args.host,
+                                    self.args.port):
+            print(f"serving on ws://{self.args.host}:{self.args.port}",
+                  flush=True)
+            if self.args.timeout:
+                await asyncio.sleep(self.args.timeout)
+            else:
+                await asyncio.Future()
+
+
+def _jsonable(payload: dict) -> dict:
+    out = {}
+    for k, v in payload.items():
+        if isinstance(v, (np.floating, np.integer)):
+            out[k] = v.item()
+        elif isinstance(v, np.ndarray):
+            continue  # raw audio is not rebroadcast over the event stream
+        elif isinstance(v, dict):
+            out[k] = _jsonable(v)
+        else:
+            out[k] = v
+    return out
+
+
+def main(argv=None):
+    args = get_args(argv)
+    asyncio.run(Server(args).run())
+
+
+if __name__ == "__main__":
+    main()

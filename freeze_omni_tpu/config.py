@@ -418,6 +418,53 @@ def flagship_system() -> SystemConfig:
     return SystemConfig()
 
 
+def load_system_config(path: str) -> "SystemConfig":
+    """Load a SystemConfig from YAML. Sections mirror the dataclass tree
+    (audio_llm.encoder/adapter/llm, tts.decoder/codec, duplex.vad/gating,
+    chunker, serving, sampling); unknown keys are ignored, dashes accepted.
+    Replaces the reference's three config mechanisms (argparse CLI,
+    argparse-as-schema YAML pouring, flat app YAML — SURVEY.md §5)."""
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f) or {}
+
+    def upd(cfg, d):
+        return assign_from_dict(cfg, d or {})
+
+    al = doc.get("audio_llm", {})
+    audio_llm = AudioLLMConfig(
+        encoder=upd(EncoderConfig(), al.get("encoder")),
+        adapter=upd(AdapterConfig(), al.get("adapter")),
+        llm=upd(LLMConfig(), al.get("llm")),
+    )
+    audio_llm = assign_from_dict(
+        audio_llm, {k: v for k, v in al.items()
+                    if k not in ("encoder", "adapter", "llm")})
+    tts_doc = doc.get("tts", {})
+    tts = TTSConfig(
+        decoder=upd(SpeechDecoderConfig(), tts_doc.get("decoder")),
+        codec=upd(CodecConfig(), tts_doc.get("codec")),
+    )
+    tts = assign_from_dict(
+        tts, {k: v for k, v in tts_doc.items()
+              if k not in ("decoder", "codec")})
+    dp = doc.get("duplex", {})
+    duplex = DuplexConfig(
+        vad=upd(VADConfig(), dp.get("vad")),
+        gating=upd(GatingConfig(), dp.get("gating")),
+    )
+    duplex = assign_from_dict(
+        duplex, {k: v for k, v in dp.items() if k not in ("vad", "gating")})
+    return SystemConfig(
+        audio_llm=audio_llm, tts=tts,
+        chunker=upd(ChunkerConfig(), doc.get("chunker")),
+        duplex=duplex,
+        serving=upd(ServingConfig(), doc.get("serving")),
+        sampling=upd(SamplingConfig(), doc.get("sampling")),
+    )
+
+
 def assign_from_dict(cfg, d: dict):
     """Dataclass-friendly analogue of the reference's assign_args_from_dict
     (models/encoder/encoder.py:36-43): returns a copy of `cfg` with any matching

@@ -1,0 +1,79 @@
+"""Drive the duplex websocket server over a real socket."""
+
+import asyncio
+import base64
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+
+def test_server_session_over_websocket(unused_port=8971):
+    websockets = pytest.importorskip("websockets")
+
+    from freeze_omni_tpu.bin.serve import Server, get_args
+
+    args = get_args(["--preset", "tiny", "--port", str(unused_port),
+                     "--timeout", "90"])
+    server = Server(args)
+
+    def run():
+        asyncio.run(server.run())
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    time.sleep(1.0)
+
+    async def client():
+        import websockets
+
+        sr = 16000
+        n = server.cfg.duplex.gating.samples_per_chunk
+        quiet = np.zeros(2 * n, np.float32)
+        speech = 0.5 * np.sin(2 * np.pi * 220 * np.arange(3 * n) / sr)
+
+        def b64(x):
+            return base64.b64encode(
+                (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()).decode()
+
+        events = []
+        async with websockets.connect(
+                f"ws://127.0.0.1:{unused_port}", open_timeout=30) as ws:
+            await ws.send(json.dumps({"type": "start_session", "sid": "t1"}))
+            while True:
+                msg = json.loads(await asyncio.wait_for(ws.recv(), 60))
+                if msg["event"] == "session_ready":
+                    break
+            for chunk in (quiet, speech, np.zeros(4 * n)):
+                await ws.send(json.dumps({
+                    "type": "audio", "identity": "user",
+                    "pcm_b64": b64(chunk), "sr": sr}))
+            deadline = time.time() + 45
+            while time.time() < deadline:
+                try:
+                    msg = json.loads(await asyncio.wait_for(ws.recv(), 5))
+                except asyncio.TimeoutError:
+                    continue
+                events.append(msg)
+                names = {e["event"] for e in events}
+                if "dialog_state_update" in names and any(
+                        e.get("status") == "ipu_el" for e in events):
+                    break
+            # probe: malformed message type
+            await ws.send(json.dumps({"type": "bogus"}))
+            msg = json.loads(await asyncio.wait_for(ws.recv(), 10))
+            events.append(msg)
+            await ws.send(json.dumps({"type": "stop"}))
+        return events
+
+    events = asyncio.run(client())
+    names = [e["event"] for e in events]
+    assert "vad_event" in names
+    assert "dialog_state_update" in names
+    assert any(e.get("status") == "ipu_sl" for e in events)
+    upd = [e for e in events if e["event"] == "dialog_state_update"][0]
+    assert 0.0 <= upd["probs"]["state_1"] <= 1.0
+    err = [e for e in events if e["event"] == "error"]
+    assert err and "bogus" in err[0]["message"]
