@@ -418,6 +418,55 @@ def flagship_system() -> SystemConfig:
     return SystemConfig()
 
 
+def from_reference_train_yaml(configs: dict) -> AudioLLMConfig:
+    """Map the reference's checkpoint train.yaml (models/utils.py:30-49:
+    input_dim/output_dim + encoder_conf{overview_conf, para_conf} poured into
+    argparse, + model_conf as AudioLLM kwargs) onto the typed config tree."""
+    enc_conf = configs.get("encoder_conf", {})
+    over = dict(enc_conf.get("overview_conf", {}))
+    para = enc_conf.get("para_conf", {})
+    tr = {k.replace("transformer-", "").replace("-", "_"): v
+          for k, v in dict(para.get("transformer", {})).items()
+          if k.startswith("transformer-")}
+    sub = {k.replace("subsampling-", "").replace("-", "_"): v
+           for k, v in dict(para.get("subsampling", {})).items()
+           if k.startswith("subsampling-")}
+    mc = dict(configs.get("model_conf", {}))
+
+    encoder = EncoderConfig(
+        input_dim=configs.get("input_dim", 80),
+        output_dim=over.get("encoder-output-dim",
+                            tr.get("output_dim", 512)),
+        attention_dim=tr.get("attention_dim", 512),
+        attention_heads=tr.get("attention_heads", 8),
+        linear_units=tr.get("linear_units", 2048),
+        num_blocks=tr.get("num_blocks", 16),
+        chunk_size=tr.get("chunk_size", 4),
+        left_chunks=tr.get("left_chunks", 16),
+        pos_enc=tr.get("pos_enc_class", "rel-enc"),
+        input_layer=tr.get("input_layer", "linear"),
+        positionwise=tr.get("positionwise_layer_type", "linear"),
+        positionwise_conv_kernel=tr.get("positionwise_conv_kernel_size", 1),
+        normalize_before=tr.get("normalize_before", True),
+        concat_after=tr.get("concat_after", False),
+        subsampling_rate=sub.get("rate", 4),
+    )
+    adapter = AdapterConfig(
+        enc_out_dim=mc.get("enc_out_dim", 512),
+        llm_dim=mc.get("llm_embed_dim", 3584),
+        kernel_size=mc.get("kernel_size", 3),
+        activation=mc.get("activation_func", "relu"),
+        norm=mc.get("norm", "batch"),
+    )
+    heads = mc.get("llm_head_num", 28)
+    llm = LLMConfig(
+        hidden=mc.get("llm_embed_dim", 3584),
+        num_heads=heads,
+        num_kv_heads=mc.get("num_key_value_heads", heads) or heads,
+    )
+    return AudioLLMConfig(encoder=encoder, adapter=adapter, llm=llm)
+
+
 def load_system_config(path: str) -> "SystemConfig":
     """Load a SystemConfig from YAML. Sections mirror the dataclass tree
     (audio_llm.encoder/adapter/llm, tts.decoder/codec, duplex.vad/gating,

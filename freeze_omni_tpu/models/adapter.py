@@ -101,3 +101,43 @@ def step(params, cfg: AdapterConfig, x: jnp.ndarray,
 def forward(params, cfg: AdapterConfig, x: jnp.ndarray) -> jnp.ndarray:
     """Full-sequence forward (zero left-padding == fresh state). [B,T,C]->[B,T',D]."""
     return step(params, cfg, x, init_state(cfg, x.shape[0], x.dtype))[0]
+
+
+# ---------------------------------------------------------------------------
+# non-streaming adapter variants (adpter_type 'cnn' / 'linear',
+# models/adapter.py:10-70) — kept for checkpoint-family completeness;
+# the fork instantiates the 'subsampling' variant above.
+# ---------------------------------------------------------------------------
+
+
+def cnn_adapter_init(key, cfg: AdapterConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 3)
+    C = cfg.enc_out_dim
+    return {
+        "conv1": conv1d_init(ks[0], C, 2 * C, cfg.kernel_size, dtype=dtype),
+        "bn1": batch_norm_init(2 * C, dtype),
+        "conv2": conv1d_init(ks[1], 2 * C, 4 * C, cfg.kernel_size, dtype=dtype),
+        "bn2": batch_norm_init(4 * C, dtype),
+        "proj": linear_init(ks[2], 4 * C, cfg.llm_dim, dtype=dtype),
+    }
+
+
+def cnn_adapter_forward(params, cfg: AdapterConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Two stride-1 causal conv stages, no time reduction. [B,T,C]->[B,T,D]."""
+    k = cfg.kernel_size
+    x = jnp.swapaxes(x, 1, 2)
+    x = jnp.pad(x, ((0, 0), (0, 0), (k - 1, 0)))
+    x = jax.nn.relu(batch_norm_eval(params["bn1"], conv1d(params["conv1"], x),
+                                    eps=1e-3, channel_axis=1))
+    x = jnp.pad(x, ((0, 0), (0, 0), (k - 1, 0)))
+    x = jax.nn.relu(batch_norm_eval(params["bn2"], conv1d(params["conv2"], x),
+                                    eps=1e-3, channel_axis=1))
+    return linear(params["proj"], jnp.swapaxes(x, 1, 2))
+
+
+def linear_adapter_init(key, cfg: AdapterConfig, dtype=jnp.float32) -> dict:
+    return {"proj": linear_init(key, cfg.enc_out_dim, cfg.llm_dim, dtype=dtype)}
+
+
+def linear_adapter_forward(params, cfg: AdapterConfig, x: jnp.ndarray) -> jnp.ndarray:
+    return linear(params["proj"], x)

@@ -112,6 +112,8 @@ def _select_encoder_state(active, new, old):
         v_cache=_where_batch(active, new.v_cache, old.v_cache, 1),
         valid=jnp.where(active, new.valid, old.valid),
         pe_index=jnp.where(active, new.pe_index, old.pe_index),
+        ffn_cache=(new.ffn_cache if new.ffn_cache.size == 0 else
+                   _where_batch(active, new.ffn_cache, old.ffn_cache, 1)),
     )
 
 

@@ -42,15 +42,20 @@ class EncoderState(NamedTuple):
     v_cache: jnp.ndarray  # [L, B, window, H, dk]
     valid: jnp.ndarray    # [B] int32 — number of valid cached frames
     pe_index: jnp.ndarray  # [B] int32 — streaming PE cursor
+    ffn_cache: jnp.ndarray  # [L, B, d, k-1] conv-FFN left context (empty if linear)
 
 
 def init_state(cfg: EncoderConfig, batch: int = 1, dtype=jnp.float32) -> EncoderState:
     shape = (cfg.num_blocks, batch, cfg.window, cfg.attention_heads, cfg.head_dim)
+    lorder = (cfg.positionwise_conv_kernel - 1
+              if cfg.positionwise == "conv1d-linear" else 0)
     return EncoderState(
         k_cache=jnp.zeros(shape, dtype),
         v_cache=jnp.zeros(shape, dtype),
         valid=jnp.zeros((batch,), jnp.int32),
         pe_index=jnp.zeros((batch,), jnp.int32),
+        ffn_cache=jnp.zeros((cfg.num_blocks, batch, cfg.attention_dim, lorder),
+                            dtype),
     )
 
 
@@ -78,7 +83,7 @@ def init_params(key, cfg: EncoderConfig, dtype=jnp.float32) -> dict:
     def block_init(k):
         ks = jax.random.split(k, 8)
         bound = math.sqrt(6.0 / (cfg.attention_heads * cfg.head_dim + cfg.head_dim))
-        return {
+        p = {
             "ln1": layer_norm_init(d, dtype),
             "q": linear_init(ks[0], d, d, dtype=dtype),
             "k": linear_init(ks[1], d, d, dtype=dtype),
@@ -91,10 +96,20 @@ def init_params(key, cfg: EncoderConfig, dtype=jnp.float32) -> dict:
             "bias_v": jax.random.uniform(ks[6], (cfg.attention_heads, cfg.head_dim),
                                          dtype, -bound, bound),
             "ln2": layer_norm_init(d, dtype),
-            "ffn1": linear_init(ks[7], d, cfg.linear_units, dtype=dtype),
-            "ffn2": linear_init(jax.random.fold_in(ks[7], 1), cfg.linear_units, d,
-                                dtype=dtype),
         }
+        if cfg.positionwise == "conv1d-linear":
+            from .layers import conv1d_init
+
+            kc = jax.random.split(ks[7], 3)
+            kk = cfg.positionwise_conv_kernel
+            p["ffn_dw"] = conv1d_init(kc[0], d, d, kk, groups=d, dtype=dtype)
+            p["ffn_pw"] = conv1d_init(kc[1], d, cfg.linear_units, 1, dtype=dtype)
+            p["ffn2"] = linear_init(kc[2], cfg.linear_units, d, dtype=dtype)
+        else:
+            p["ffn1"] = linear_init(ks[7], d, cfg.linear_units, dtype=dtype)
+            p["ffn2"] = linear_init(jax.random.fold_in(ks[7], 1),
+                                    cfg.linear_units, d, dtype=dtype)
+        return p
 
     blocks = [block_init(keys[8 + i]) for i in range(cfg.num_blocks)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
@@ -152,8 +167,28 @@ def _rel_attention(bp, x_q, k_all, v_all, pos_emb, mask, cfg: EncoderConfig):
     return linear(bp["o"], out)
 
 
-def _ffn(bp, x):
-    return linear(bp["ffn2"], jax.nn.relu(linear(bp["ffn1"], x)))
+def _ffn(bp, x, cfg: EncoderConfig, cache=None):
+    """Positionwise FFN. 'linear': w2(relu(w1 x)) (attention.py:123-143);
+    'conv1d-linear': depthwise+pointwise causal conv then linear, with a
+    left-context cache in streaming (attention.py:198-266). Returns
+    (y, new_cache)."""
+    if cfg.positionwise != "conv1d-linear":
+        return linear(bp["ffn2"], jax.nn.relu(linear(bp["ffn1"], x))), cache
+    from .layers import conv1d
+
+    k = cfg.positionwise_conv_kernel
+    d = x.shape[-1]
+    xc = jnp.swapaxes(x, 1, 2)  # [B, d, T]
+    if cache is None:
+        xc = jnp.pad(xc, ((0, 0), (0, 0), (k - 1, 0)))
+        new_cache = None
+    else:
+        xc = jnp.concatenate([cache, xc], axis=2)
+        new_cache = xc[:, :, xc.shape[2] - (k - 1):]
+    y = conv1d(bp["ffn_dw"], xc, groups=d)
+    y = conv1d(bp["ffn_pw"], y)
+    y = jax.nn.relu(jnp.swapaxes(y, 1, 2))
+    return linear(bp["ffn2"], y), new_cache
 
 
 # ---------------------------------------------------------------------------
@@ -196,7 +231,8 @@ def forward(params, cfg: EncoderConfig, xs: jnp.ndarray,
         k = linear(bp["k"], h).reshape(B, T, H, dk)
         v = linear(bp["v"], h).reshape(B, T, H, dk)
         x = x + _rel_attention(bp, h, k, v, pos_emb, mask, cfg)
-        x = x + _ffn(bp, layer_norm(bp["ln2"], x))
+        y, _ = _ffn(bp, layer_norm(bp["ln2"], x), cfg)
+        x = x + y
         return x, None
 
     x, _ = jax.lax.scan(block_fn, x, params["blocks"])
@@ -241,24 +277,31 @@ def stream_step(params, cfg: EncoderConfig, xs: jnp.ndarray,
     H, dk = cfg.attention_heads, cfg.head_dim
 
     def block_fn(x, inputs):
-        bp, k_cache, v_cache = inputs  # caches: [B, cap, H, dk]
+        bp, k_cache, v_cache, f_cache = inputs  # kv caches: [B, cap, H, dk]
         h = layer_norm(bp["ln1"], x)
         k_new = linear(bp["k"], h).reshape(B, T, H, dk)
         v_new = linear(bp["v"], h).reshape(B, T, H, dk)
         k_all = jnp.concatenate([k_cache, k_new], axis=1)  # [B, S, H, dk]
         v_all = jnp.concatenate([v_cache, v_new], axis=1)
         x = x + _rel_attention(bp, h, k_all, v_all, pos_emb, mask, cfg)
-        x = x + _ffn(bp, layer_norm(bp["ln2"], x))
+        y, f_cache = _ffn(bp, layer_norm(bp["ln2"], x), cfg,
+                          cache=f_cache if cfg.positionwise == "conv1d-linear"
+                          else None)
+        x = x + y
+        if f_cache is None:
+            f_cache = inputs[3]
         # static shift+append: keep the newest `cap` keys, still time-ordered
-        return x, (k_all[:, -cap:], v_all[:, -cap:])
+        return x, (k_all[:, -cap:], v_all[:, -cap:], f_cache)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        block_fn, x, (params["blocks"], state.k_cache, state.v_cache))
+    x, (new_k, new_v, new_f) = jax.lax.scan(
+        block_fn, x, (params["blocks"], state.k_cache, state.v_cache,
+                      state.ffn_cache))
     x = layer_norm(params["after_norm"], x)
 
     new_state = EncoderState(
         k_cache=new_k, v_cache=new_v,
         valid=jnp.minimum(valid + T, cap).astype(jnp.int32),
         pe_index=(pe_idx + cfg.chunk_size).astype(jnp.int32),
+        ffn_cache=new_f,
     )
     return x, new_state

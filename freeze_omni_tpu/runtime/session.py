@@ -31,7 +31,7 @@ def _set_row(tree_new_row, tree_batched, slot: int, batch_axes):
 def session_batch_axes(caches: audio_llm.SessionCaches):
     """Batch-axis index for each leaf of SessionCaches."""
     def enc_axes(st):
-        return type(st)(k_cache=1, v_cache=1, valid=0, pe_index=0)
+        return type(st)(k_cache=1, v_cache=1, valid=0, pe_index=0, ffn_cache=1)
 
     def adp_axes(st):
         return type(st)(c1=None if st.c1 is None else 0, c2=0)

@@ -91,7 +91,7 @@ def convert_encoder(sd: dict, cfg: EncoderConfig, prefix: str) -> dict:
     blocks = []
     for i in range(cfg.num_blocks):
         b = f"{tr}.encoders.{i}"
-        blocks.append({
+        blk = {
             "ln1": _ln(sd, f"{b}.norm1"),
             "q": _linear(sd, f"{b}.self_attn.linear_q"),
             "k": _linear(sd, f"{b}.self_attn.linear_k"),
@@ -101,9 +101,16 @@ def convert_encoder(sd: dict, cfg: EncoderConfig, prefix: str) -> dict:
             "bias_u": _t(sd[f"{b}.self_attn.pos_bias_u"]),
             "bias_v": _t(sd[f"{b}.self_attn.pos_bias_v"]),
             "ln2": _ln(sd, f"{b}.norm2"),
-            "ffn1": _linear(sd, f"{b}.feed_forward.w_1"),
-            "ffn2": _linear(sd, f"{b}.feed_forward.w_2"),
-        })
+        }
+        if f"{b}.feed_forward.w_1.0.weight" in sd:
+            # Conv1dLinear positionwise (attention.py:198-266)
+            blk["ffn_dw"] = _conv1d(sd, f"{b}.feed_forward.w_1.0")
+            blk["ffn_pw"] = _conv1d(sd, f"{b}.feed_forward.w_1.1")
+            blk["ffn2"] = _linear(sd, f"{b}.feed_forward.w_2")
+        else:
+            blk["ffn1"] = _linear(sd, f"{b}.feed_forward.w_1")
+            blk["ffn2"] = _linear(sd, f"{b}.feed_forward.w_2")
+        blocks.append(blk)
     out["blocks"] = _stack(blocks)
     out["after_norm"] = _ln(sd, f"{tr}.after_norm")
     return out

@@ -1,0 +1,122 @@
+"""Model factory: build pipelines from reference checkpoint directories.
+
+Parity with models/utils.init_encoder_llm + load_checkpoint and the loaders in
+models/pipeline.py:11-34 and models/decoder/llm2tts.py:17-68: reads
+`<model_path>/audiollm/train.yaml` + `global_cmvn` + `final.pt`, the HF LLM at
+`llm_path`, `<model_path>/decoder/{model.json,final.pt}` and
+`<model_path>/codec/{model.json,final.pt}`, converts everything into this
+framework's pytrees, and reports shape mismatches instead of failing
+(strict=False semantics, models/utils.py:11-28).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import (AudioLLMConfig, CodecConfig, SpeechDecoderConfig,
+                      SystemConfig, assign_from_dict, flagship_system,
+                      from_reference_train_yaml)
+from . import checkpoint as ckpt
+
+
+def _report_mismatches(converted: dict, template: dict, name: str) -> None:
+    import jax
+
+    def chk(path, a, b):
+        if hasattr(a, "shape") and hasattr(b, "shape") and a.shape != b.shape:
+            print(f"[{name}] shape mismatch at {path}: ckpt {a.shape} vs "
+                  f"model {b.shape}")
+
+    try:
+        jax.tree.map(lambda a, b: chk("", a, b), converted, template)
+    except Exception as e:  # structure mismatch: report, keep going
+        print(f"[{name}] structure differs from init template: {e}")
+
+
+def load_audiollm(model_path: str, cfg: Optional[AudioLLMConfig] = None
+                  ) -> Tuple[AudioLLMConfig, dict]:
+    """-> (config from train.yaml, converted audiollm params with CMVN)."""
+    import yaml
+
+    with open(os.path.join(model_path, "audiollm", "train.yaml")) as f:
+        configs = yaml.safe_load(f)
+    if cfg is None:
+        cfg = from_reference_train_yaml(configs)
+
+    sd = ckpt.load_torch_state_dict(
+        os.path.join(model_path, "audiollm", "final.pt"))
+    params = ckpt.convert_audiollm(sd, cfg)
+
+    cmvn_path = os.path.join(model_path, "audiollm", "global_cmvn")
+    if os.path.exists(cmvn_path):
+        from ..frontend.cmvn import load_cmvn
+
+        mean, istd = load_cmvn(cmvn_path, configs.get("is_json_cmvn", True))
+        for who in ("encoder_user", "encoder_system"):
+            params[who]["cmvn"] = {"mean": mean, "istd": istd}
+    return cfg, params
+
+
+def load_llm(llm_path: str, cfg: AudioLLMConfig) -> dict:
+    """HF Qwen2 weights (audioLLM.py:70-74) -> backbone pytree."""
+    from transformers import AutoModelForCausalLM
+
+    hf = AutoModelForCausalLM.from_pretrained(llm_path, trust_remote_code=True,
+                                              torch_dtype="auto")
+    return ckpt.convert_hf_qwen2(hf.state_dict(), cfg.llm)
+
+
+def load_speech_decoder(model_path: str,
+                        cfg: Optional[SpeechDecoderConfig] = None
+                        ) -> Tuple[SpeechDecoderConfig, dict]:
+    """decoder/model.json is [idim, odim, args] (llm2tts.py:32-39)."""
+    with open(os.path.join(model_path, "decoder", "model.json")) as f:
+        idim, odim, args = json.load(f)
+    if cfg is None:
+        cfg = SpeechDecoderConfig(
+            idim=idim, hidden=args.get("transformer_attention_dim", idim),
+            num_layers=args.get("transformer_num_blocks", 4),
+            num_heads=args.get("transformer_attention_heads", 14),
+            ffn=args.get("transformer_linear_units", 4864),
+            codec_vocab=odim,
+            use_prefix_kv=bool(args.get("kv_cache_prefix_finetune", 0)),
+        )
+    sd = ckpt.load_torch_state_dict(
+        os.path.join(model_path, "decoder", "final.pt"))
+    return cfg, ckpt.convert_speech_decoder(sd, cfg)
+
+
+def load_codec(model_path: str, cfg: Optional[CodecConfig] = None
+               ) -> Tuple[CodecConfig, dict]:
+    with open(os.path.join(model_path, "codec", "model.json")) as f:
+        h = json.load(f)
+    if cfg is None:
+        cfg = assign_from_dict(CodecConfig(), h)
+        if "global_tokens" in h:
+            cfg = assign_from_dict(cfg, {"global_tokens": tuple(h["global_tokens"])})
+    torch_ckpt = ckpt.load_torch_state_dict(
+        os.path.join(model_path, "codec", "final.pt"))
+    return cfg, ckpt.convert_codec(torch_ckpt, cfg,
+                                   with_encoder="encoder" in torch_ckpt)
+
+
+def build_system_from_reference(model_path: str, llm_path: str
+                                ) -> Tuple[SystemConfig, dict, dict]:
+    """Full parity loader: returns (system config, audio_llm params incl. LLM,
+    tts params {'decoder','codec'})."""
+    import dataclasses
+
+    acfg, audiollm = load_audiollm(model_path)
+    audiollm["llm"] = load_llm(llm_path, acfg)
+    dcfg, dec = load_speech_decoder(model_path)
+    ccfg, codec = load_codec(model_path)
+
+    base = flagship_system()
+    cfg = dataclasses.replace(
+        base, audio_llm=acfg,
+        tts=dataclasses.replace(base.tts, decoder=dcfg, codec=ccfg))
+    return cfg, audiollm, {"decoder": dec, "codec": codec}

@@ -188,7 +188,7 @@ class TestEncoderTorchParity:
         pos_emb = sinusoidal_pe(jnp.arange(T), d)
         att = enc_mod._rel_attention(bp, hj, kj, vj, pos_emb, None, cfg)
         yj = xj + att
-        yj = yj + enc_mod._ffn(bp, enc_mod.layer_norm(bp["ln2"], yj))
+        yj = yj + enc_mod._ffn(bp, enc_mod.layer_norm(bp["ln2"], yj), cfg)[0]
         np.testing.assert_allclose(np.asarray(yj), ref, rtol=2e-4, atol=2e-4)
 
 

