@@ -30,6 +30,60 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def serving_bench(cfg, args, llm_dtype):
+    """Concurrent duplex streams: every 224 ms tick, all N sessions submit a
+    user chunk; measure the batched tick latency. Sustained serving requires
+    tick p50 << 224 ms; headroom = how many more streams fit."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from freeze_omni_tpu.runtime.engine import ServingEngine
+
+    cfg = dataclasses.replace(
+        cfg, serving=dataclasses.replace(cfg.serving,
+                                         max_sessions=args.streams))
+    t0 = time.time()
+    engine = ServingEngine(cfg, seed=0, kv_dtype=llm_dtype)
+    for i in range(args.streams):
+        engine.open_session(f"s{i}")
+    log(f"engine+sessions ready in {time.time()-t0:.1f}s")
+
+    rng = np.random.RandomState(0)
+    chunk = [rng.randn(1, 32, 80).astype(np.float32)
+             for _ in range(args.streams)]
+
+    def one_tick(is_sl):
+        for i in range(args.streams):
+            engine.submit_chunk(f"s{i}", "user", chunk[i], is_sl=is_sl)
+        t = time.perf_counter()
+        engine.tick()
+        return (time.perf_counter() - t) * 1e3
+
+    log("warmup/compile...")
+    one_tick(True)
+    one_tick(False)
+    lat = [one_tick(False) for _ in range(args.trials * 3)]
+    p50 = float(np.median(lat))
+    chunk_ms = cfg.duplex.gating.chunk_duration_s * 1e3
+    rtf = p50 / chunk_ms  # fraction of real time spent per tick
+    log(f"tick latencies: {['%.1f' % x for x in lat]}")
+    print(json.dumps({
+        "metric": "duplex_streams_per_chip",
+        "value": args.streams,
+        "unit": "streams",
+        "vs_baseline": round(rtf, 3),
+        "detail": {
+            "tick_p50_ms": round(p50, 1),
+            "chunk_ms": chunk_ms,
+            "realtime_fraction": round(rtf, 3),
+            "llm_layers": cfg.audio_llm.llm.num_layers,
+            "note": "vs_baseline = tick_p50/chunk (sustained iff < 1); "
+                    "reference serves 1 replica per ~15GB GPU",
+        },
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--layers", type=int, default=12,
@@ -39,6 +93,11 @@ def main():
     p.add_argument("--sentence_tokens", type=int, default=8,
                    help="text tokens before first sentence boundary")
     p.add_argument("--preset", default="bench", choices=["bench", "tiny"])
+    p.add_argument("--mode", default="latency", choices=["latency", "serving"])
+    p.add_argument("--streams", type=int, default=8,
+                   help="concurrent duplex sessions for --mode serving")
+    p.add_argument("--quant", action="store_true",
+                   help="int8 weight-only LLM (fits all 28 layers on 16GB)")
     args = p.parse_args()
 
     from freeze_omni_tpu.config import (LLMConfig, SamplingConfig, flagship_system,
@@ -65,9 +124,19 @@ def main():
     log(f"init: llm layers={acfg.llm.num_layers} hidden={acfg.llm.hidden} "
         f"dtype={llm_dtype.__name__}")
 
+    if args.mode == "serving":
+        serving_bench(cfg, args, llm_dtype)
+        return
+
     t0 = time.time()
     params = audio_llm.init_params(jax.random.PRNGKey(0), acfg,
                                    llm_dtype=llm_dtype)
+    if args.quant:
+        from freeze_omni_tpu.ops.quant import quantize_llm_params
+
+        params["llm"] = jax.block_until_ready(
+            quantize_llm_params(params["llm"]))
+        log("LLM layer weights quantized to int8")
     k1, k2 = jax.random.split(jax.random.PRNGKey(7))
     tts_params = {"decoder": sd.init_params(k1, cfg.tts.decoder),
                   "codec": codec_mod.init_params(k2, cfg.tts.codec)}

@@ -225,6 +225,14 @@ class AudioLLMConfig:
     num_states: int = 4  # predictor head classes (audioLLM.py:215)
     chat_prefix_len_user: int = 8  # static pad length for chat-template prefixes
     chat_prefix_len_system: int = 8
+    # task/prompt/prefix-tuning tables (audioLLM.py:169-195; training-time
+    # conditioning — the fork's inference path never reads them, but converted
+    # checkpoints carry them)
+    task_num: int = 10
+    prompt_finetune: bool = False
+    prompt_num: int = 5
+    prefix_finetune: bool = False
+    prefix_num: int = 5
 
 
 # ---------------------------------------------------------------------------

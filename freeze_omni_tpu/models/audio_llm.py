@@ -65,8 +65,8 @@ def reset_audio_caches(cfg: AudioLLMConfig, caches: SessionCaches) -> SessionCac
 
 
 def init_params(key, cfg: AudioLLMConfig, llm_dtype=jnp.float32) -> dict:
-    ks = jax.random.split(key, 6)
-    return {
+    ks = jax.random.split(key, 8)
+    params = {
         "encoder_user": encoder_mod.init_params(ks[0], cfg.encoder),
         "encoder_system": encoder_mod.init_params(ks[1], cfg.encoder),
         "adapter_user": adapter_mod.init_params(ks[2], cfg.adapter),
@@ -75,7 +75,19 @@ def init_params(key, cfg: AudioLLMConfig, llm_dtype=jnp.float32) -> dict:
         # 4-logit state head (audioLLM.py:214-217)
         "predictor": linear_init(ks[5], cfg.llm.hidden, cfg.num_states,
                                  dtype=jnp.float32),
+        # task-conditioning table (audioLLM.py:169, task ids 219-230)
+        "task_embeddings": jax.random.normal(
+            ks[6], (cfg.task_num, cfg.llm.hidden)) * 0.02,
     }
+    if cfg.prompt_finetune:
+        params["prompt_embeddings"] = jax.random.normal(
+            ks[7], (cfg.prompt_num, cfg.llm.hidden)) * 0.02
+    if cfg.prefix_finetune:
+        kv_dim = cfg.llm.num_kv_heads * cfg.llm.head_dim
+        params["prefix_embeddings"] = jax.random.normal(
+            jax.random.fold_in(ks[7], 1),
+            (cfg.llm.num_layers, 2, cfg.prefix_num, kv_dim)) * 0.02
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,13 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.flo
 
 
 def linear(p, x):
-    y = jnp.einsum("...i,io->...o", x, p["w"])
+    if "w_q" in p:
+        # weight-only int8 (ops/quant.py): dequant fused into the matmul by XLA
+        w = (p["w_q"].astype(x.dtype)
+             * p["scale"].astype(x.dtype)[..., None, :])
+        y = jnp.einsum("...i,io->...o", x, w)
+    else:
+        y = jnp.einsum("...i,io->...o", x, p["w"])
     if "b" in p:
         y = y + p["b"]
     return y

@@ -1,0 +1,50 @@
+"""Weight-only int8 quantization for the frozen LLM backbone.
+
+The reference serves the 7B in fp16/bf16 (~15 GB/replica,
+scripts/run_demo_server.sh:8-9). Per-output-channel symmetric int8 halves the
+layer weights to ~6.5 GB so the FULL 28-layer Qwen2-7B fits one 16 GB v5e chip
+alongside embeddings, caches and XLA workspace. Dequantization is a per-column
+scale multiply that XLA fuses into the matmul epilogue; quality for 7B-class
+models with per-channel weight-only int8 is established practice.
+
+A quantized linear is {"w_q": int8 [in, out], "scale": f32 [out], "b"?};
+models/layers.linear dispatches on the presence of "w_q".
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_linear(p: dict) -> dict:
+    """{"w": [in, out], "b"?} -> {"w_q": int8, "scale": f32, "b"?}.
+    Handles stacked layer weights ([L, in, out]) too: scales are per (layer,
+    output-channel)."""
+    w = p["w"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)  # over input dim
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out = {"w_q": w_q, "scale": scale.squeeze(-2).astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def dequantize_weight(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (p["w_q"].astype(jnp.float32) * p["scale"][..., None, :]).astype(dtype)
+
+
+def quantize_llm_params(params: dict) -> dict:
+    """Quantize the transformer layer projections (q/k/v/o/gate/up/down) of a
+    models/qwen2 params tree; embeddings, norms and lm_head stay bf16."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        layers[name] = quantize_linear(layers[name])
+    out["layers"] = layers
+    return out
+
+
+def quantized_bytes(params: dict) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))

@@ -171,6 +171,17 @@ def convert_audiollm(sd: dict, cfg: AudioLLMConfig) -> dict:
     }
     if "predictor_head.weight" in sd:
         out["predictor"] = _linear(sd, "predictor_head")
+    # task/prompt/prefix-tuning tables (audioLLM.py:169-195)
+    if "task_embeddings.weight" in sd:
+        out["task_embeddings"] = _t(sd["task_embeddings.weight"])
+    if "prompt_embeddings.weight" in sd:
+        out["prompt_embeddings"] = _t(sd["prompt_embeddings.weight"])
+    if "prefix_embeddings.0.0.weight" in sd:
+        L = cfg.llm.num_layers
+        out["prefix_embeddings"] = np.stack([
+            np.stack([_t(sd[f"prefix_embeddings.{i}.0.weight"]),
+                      _t(sd[f"prefix_embeddings.{i}.1.weight"])])
+            for i in range(L)])
     return out
 
 

@@ -52,3 +52,28 @@ def span_report() -> str:
 
 def reset_spans() -> None:
     _SPANS.clear()
+
+
+@contextlib.contextmanager
+def device_span(name: str):
+    """Span that also annotates the XLA trace (visible in a jax.profiler
+    capture, e.g. TensorBoard), so host spans line up with device timelines."""
+    import jax.profiler
+
+    with jax.profiler.TraceAnnotation(name):
+        with span(name):
+            yield
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str):
+    """Capture a jax.profiler trace around a region:
+    `with profile_trace('/tmp/tb'): engine.tick()` then inspect in
+    TensorBoard. Replaces the reference's timestamped-print tracing."""
+    import jax.profiler
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

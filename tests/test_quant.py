@@ -1,0 +1,49 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from freeze_omni_tpu.config import LLMConfig
+from freeze_omni_tpu.models import qwen2
+from freeze_omni_tpu.ops.quant import (quantize_linear, quantize_llm_params,
+                                       quantized_bytes)
+
+
+class TestQuant:
+    def test_quantize_linear_roundtrip(self):
+        rng = np.random.RandomState(0)
+        p = {"w": jnp.asarray(rng.randn(64, 32), jnp.float32)}
+        q = quantize_linear(p)
+        assert q["w_q"].dtype == jnp.int8 and q["scale"].shape == (32,)
+        deq = q["w_q"].astype(jnp.float32) * q["scale"][None, :]
+        rel = np.abs(np.asarray(deq - p["w"])).max() / np.abs(np.asarray(p["w"])).max()
+        assert rel < 0.01  # <1% of max weight per channel
+
+    def test_stacked_layer_quantization(self):
+        rng = np.random.RandomState(1)
+        p = {"w": jnp.asarray(rng.randn(3, 16, 8), jnp.float32)}
+        q = quantize_linear(p)
+        assert q["w_q"].shape == (3, 16, 8) and q["scale"].shape == (3, 8)
+
+    def test_llm_forward_with_quantized_weights(self):
+        cfg = LLMConfig(hidden=64, num_layers=2, num_heads=4, num_kv_heads=2,
+                        ffn=128, vocab_size=100, max_kv_len=32)
+        params = qwen2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        qparams = quantize_llm_params(params)
+
+        ids = jnp.asarray([[3, 14, 15, 9, 2]])
+        embeds = qwen2.embed_tokens(params, ids)
+        cache = qwen2.init_cache(cfg, 1, dtype=jnp.float32)
+        h_ref, _ = qwen2.forward(params, cfg, embeds, jnp.ones((1, 5), bool), cache)
+        cache2 = qwen2.init_cache(cfg, 1, dtype=jnp.float32)
+        h_q, _ = qwen2.forward(qparams, cfg, embeds, jnp.ones((1, 5), bool), cache2)
+
+        ref = np.asarray(h_ref)
+        got = np.asarray(h_q)
+        # int8 weight-only: small relative error on hidden states
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+        assert rel < 0.05, rel
+
+        # memory: quantized layer stack ~halved
+        b_ref = quantized_bytes(params["layers"])
+        b_q = quantized_bytes(qparams["layers"])
+        assert b_q < 0.6 * b_ref

@@ -1,0 +1,67 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from freeze_omni_tpu.config import (AdapterConfig, AudioLLMConfig,
+                                    EncoderConfig, LLMConfig,
+                                    SpeechDecoderConfig)
+from freeze_omni_tpu.models import audio_llm
+from freeze_omni_tpu.models import speech_decoder as sd
+from freeze_omni_tpu.training import data as data_mod
+from freeze_omni_tpu.training import train_step as ts
+
+
+def _cfgs():
+    cfg = AudioLLMConfig(
+        encoder=EncoderConfig(input_dim=80, output_dim=32, attention_dim=32,
+                              attention_heads=4, linear_units=64, num_blocks=2,
+                              chunk_size=4, left_chunks=2, pe_max_len=256),
+        adapter=AdapterConfig(enc_out_dim=32, llm_dim=128),
+        llm=LLMConfig(hidden=128, num_layers=2, num_heads=4, num_kv_heads=2,
+                      ffn=256, vocab_size=128, max_kv_len=64),
+    )
+    dcfg = SpeechDecoderConfig(idim=32, hidden=32, num_layers=2, num_heads=2,
+                               ffn=64, codec_vocab=16, max_kv_len=64)
+    return cfg, dcfg
+
+
+class TestTraining:
+    def test_loss_decreases_over_steps(self):
+        """The full train step (state-head CE through the frozen LLM +
+        speech-decoder CE, adamw) must fit a fixed synthetic batch."""
+        cfg, dcfg = _cfgs()
+        params = audio_llm.init_params(jax.random.PRNGKey(0), cfg)
+        trainable = {
+            "encoder_user": params["encoder_user"],
+            "adapter_user": params["adapter_user"],
+            "predictor": params["predictor"],
+            "speech_decoder": sd.init_params(jax.random.PRNGKey(1), dcfg),
+        }
+        frozen = {"llm": params["llm"]}
+        opt = ts.make_optimizer(lr=3e-3)
+        state = ts.init_train_state(trainable, opt)
+
+        batch = data_mod.synth_audio_llm_batch(0, cfg, batch=2)
+        batch.update(data_mod.synth_decoder_batch(1, dcfg, batch=2))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        step = jax.jit(lambda s, b: ts.train_step(s, frozen, opt, cfg, dcfg, b))
+        losses = []
+        for _ in range(12):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.9, losses
+        # frozen LLM untouched
+        np.testing.assert_array_equal(
+            np.asarray(frozen["llm"]["layers"]["q"]["w"]),
+            np.asarray(params["llm"]["layers"]["q"]["w"]))
+
+    def test_batch_shapes(self):
+        cfg, dcfg = _cfgs()
+        bs = list(data_mod.batches(cfg, dcfg, batch=3, steps=2))
+        assert len(bs) == 2
+        assert bs[0]["fbank"].shape == (3, 67, 80)
+        assert bs[0]["labels"].shape[0] == 3
+        assert set(np.unique(bs[0]["labels"][:, -1])) <= {1, 2}
+        assert bs[0]["dec_y"].shape == (3, 8)
