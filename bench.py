@@ -136,7 +136,11 @@ def main():
 
         params["llm"] = jax.block_until_ready(
             quantize_llm_params(params["llm"]))
-        log("LLM layer weights quantized to int8")
+        log("LLM weights quantized to int8 (layers + embeddings)")
+    # the latency bench only exercises the user identity: alias the system
+    # copies (immutable arrays -> no extra HBM)
+    params["encoder_system"] = params["encoder_user"]
+    params["adapter_system"] = params["adapter_user"]
     k1, k2 = jax.random.split(jax.random.PRNGKey(7))
     tts_params = {"decoder": sd.init_params(k1, cfg.tts.decoder),
                   "codec": codec_mod.init_params(k2, cfg.tts.codec)}

@@ -40,12 +40,13 @@ class DuplexSession:
 
     def __init__(self, pipeline: DuplexPipeline, cfg: SystemConfig,
                  sink: Optional[EventSink] = None, sid: str = "",
-                 user_ipu_outlets: Optional[List] = None):
+                 user_ipu_outlets: Optional[List] = None, responder=None):
         self.pipeline = pipeline
         self.cfg = cfg
         self.sid = sid
         self.sink = sink or EventSink()
         self.user_ipu_outlets = user_ipu_outlets or []
+        self.responder = responder  # optional DuplexResponder: closes the loop
         self.resp_threshold = cfg.duplex.resp_threshold
 
         gating_cfg = cfg.duplex.gating
@@ -224,6 +225,8 @@ class DuplexSession:
             self.sink.emit("dialog_ss_callback", {
                 "ipu_id": feat.get("ipu_id"), "state_1": pred["state_1"],
                 "time_stamp": ts})
+            if self.responder is not None:
+                self._respond()
         elif pred["state_2"] > self.resp_threshold:
             decision = "dialog_el"  # end-without-response (collapsed to cl in
             # the fork, dialog_state_pred.py:828-830)
@@ -234,6 +237,22 @@ class DuplexSession:
         if handle is not None:
             handle.register_response_state(
                 {"time_stamp": ts, "decision": decision, **pred})
+
+    def _respond(self) -> None:
+        """Generate and speak a response on the shared context; the
+        synthesized audio re-enters as system-identity input so the predictor
+        hears the system speaking (the upstream duplex loop)."""
+        try:
+            for text, pcm16, kv in self.responder.respond(self.past_key_values):
+                self.past_key_values = kv
+                self.sink.emit("response_text", {"text": text})
+                if pcm16 is not None and pcm16.size:
+                    self.sink.emit("response_audio",
+                                   {"pcm": pcm16, "sr": 16000})
+                    self.enqueue_audio_data("system", {"audio": pcm16,
+                                                       "enc": "f32"})
+        except Exception as e:  # responder failure must not kill the session
+            self.sink.emit("error", {"where": "responder", "message": str(e)})
 
     # ------------------------------------------------------------------
 

@@ -24,6 +24,8 @@ class EventSink:
         "dialog_state_update", # {'state', 'probs', 'time_stamp'}
         "dialog_ss_callback",  # {'ipu_id', 'state_1', 'time_stamp'}
         "audio_rebroadcast",   # {'identity', 'audio', 'time_stamp'}
+        "response_text",       # {'text', 'time_stamp'} (responder sentences)
+        "response_audio",      # {'pcm', 'sr', 'time_stamp'} (responder speech)
         "error",               # {'where', 'message'}
     )
 

@@ -48,8 +48,9 @@ class EnergyVAD:
         rms = float(np.sqrt(np.mean(np.square(audio)) + 1e-12))
         if not self._calibrated:
             # first chunk calibrates the floor so ambient noise never
-            # false-starts an IPU
-            self.noise_floor = max(rms, 1e-5)
+            # false-starts an IPU; cap it so a stream that OPENS with speech
+            # (e.g. the system identity fed synthesized audio) still detects
+            self.noise_floor = max(min(rms, 0.01), 1e-5)
             self._calibrated = True
         # slow noise-floor tracking (only adapts on quiet frames)
         if rms < 3.0 * self.noise_floor:

@@ -88,7 +88,12 @@ def init_params(key, cfg: LLMConfig, dtype=jnp.bfloat16) -> dict:
 
 
 def embed_tokens(params, ids: jnp.ndarray) -> jnp.ndarray:
-    return embedding(params["embed"], ids)
+    p = params["embed"]
+    if "w_q" in p:  # per-row int8 (ops/quant.py)
+        rows = jnp.take(p["w_q"], ids, axis=0).astype(jnp.float32)
+        out = rows * jnp.take(p["scale"], ids, axis=0)[..., None]
+        return out.astype(jnp.bfloat16)
+    return embedding(p, ids)
 
 
 def logits(params, cfg: LLMConfig, hidden: jnp.ndarray) -> jnp.ndarray:

@@ -35,14 +35,28 @@ def dequantize_weight(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (p["w_q"].astype(jnp.float32) * p["scale"][..., None, :]).astype(dtype)
 
 
-def quantize_llm_params(params: dict) -> dict:
-    """Quantize the transformer layer projections (q/k/v/o/gate/up/down) of a
-    models/qwen2 params tree; embeddings, norms and lm_head stay bf16."""
+def quantize_embedding(p: dict) -> dict:
+    """{"w": [V, D]} -> {"w_q": int8, "scale": f32 [V]} (per-row symmetric)."""
+    w = p["w"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    return {"w_q": jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8),
+            "scale": scale[..., 0].astype(jnp.float32)}
+
+
+def quantize_llm_params(params: dict, quantize_embeddings: bool = True) -> dict:
+    """Quantize the transformer layer projections (q/k/v/o/gate/up/down) and —
+    by default — the token embedding (per-row) and lm_head (per-column); norms
+    stay full precision."""
     out = dict(params)
     layers = dict(params["layers"])
     for name in ("q", "k", "v", "o", "gate", "up", "down"):
         layers[name] = quantize_linear(layers[name])
     out["layers"] = layers
+    if quantize_embeddings:
+        out["embed"] = quantize_embedding(params["embed"])
+        if "lm_head" in params:
+            out["lm_head"] = quantize_linear(params["lm_head"])
     return out
 
 

@@ -148,6 +148,51 @@ class TestDuplexSession:
         sess.reset_context()
         assert sess.past_key_values is sess.system_role_kv
 
+    def test_responder_closes_the_loop(self):
+        """With a responder attached and threshold 0, a user chunk triggers
+        text + synthesized speech that re-enters as system audio."""
+        import dataclasses
+
+        import jax
+
+        from freeze_omni_tpu.duplex.responder import DuplexResponder
+        from freeze_omni_tpu.models import codec as codec_mod
+        from freeze_omni_tpu.models import speech_decoder as sd
+        from freeze_omni_tpu.tts import StreamingTTS
+
+        cfg = tiny_system()
+        cfg = dataclasses.replace(
+            cfg, duplex=dataclasses.replace(cfg.duplex, resp_threshold=0.0),
+            tts=dataclasses.replace(cfg.tts, max_tokens=24))
+        pipeline = DuplexPipeline(cfg, seed=0)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+        tts = StreamingTTS({"decoder": sd.init_params(k1, cfg.tts.decoder),
+                            "codec": codec_mod.init_params(k2, cfg.tts.codec)},
+                           cfg.tts)
+        responder = DuplexResponder(pipeline.core, tts, cfg, max_tokens=12,
+                                    segment=8)
+        sink = EventSink()
+        sess = DuplexSession(pipeline, cfg, sink=sink, responder=responder)
+
+        n = cfg.duplex.gating.samples_per_chunk
+        quiet = (0.0005 * np.random.RandomState(0).randn(n)).astype(np.float32)
+        speech = (0.5 * np.sin(2 * np.pi * 220 * np.arange(2 * n) / 16000)
+                  ).astype(np.float32)
+        sess.enqueue_audio_data("user", {"audio": quiet, "enc": "f32"})
+        sess.pump()
+        sess.enqueue_audio_data("user", {"audio": speech, "enc": "f32"})
+        while sess.pump():
+            pass
+
+        texts = sink.events_of("response_text")
+        assert len(texts) >= 1 and isinstance(texts[0]["text"], str)
+        audio = sink.events_of("response_audio")
+        assert len(audio) >= 1 and audio[0]["pcm"].size > 0
+        # synthesized audio went through the system identity (vad saw it)
+        sys_events = [e for e in sink.events_of("vad_event")
+                      if e["identity"] == "system"]
+        assert len(sys_events) >= 1
+
     def test_warmup_and_release(self):
         cfg = tiny_system()
         pipeline = DuplexPipeline(cfg, seed=0)
