@@ -38,6 +38,11 @@ def get_args(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--max_sessions", type=int, default=8)
+    p.add_argument("--respond", action="store_true",
+                   help="attach the duplex responder: on dialog_ss the server "
+                        "speaks back (response_text/response_audio events)")
+    p.add_argument("--resp_threshold", type=float, default=None,
+                   help="override dialog_state_decision.resp_threshold")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--timeout", type=float, default=None,
                    help="stop serving after N seconds (for smoke tests)")
@@ -51,8 +56,29 @@ class Server:
 
         self.args = args
         self.cfg = tiny_system() if args.preset == "tiny" else flagship_system()
+        if args.resp_threshold is not None:
+            import dataclasses
+
+            self.cfg = dataclasses.replace(
+                self.cfg, duplex=dataclasses.replace(
+                    self.cfg.duplex, resp_threshold=args.resp_threshold))
         self.pipeline = DuplexPipeline(self.cfg, seed=args.seed)
         self.sessions = {}
+        self.responder = None
+        if args.respond:
+            import jax
+
+            from ..duplex.responder import DuplexResponder
+            from ..models import codec as codec_mod
+            from ..models import speech_decoder as sd
+            from ..tts import StreamingTTS
+
+            k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed + 7))
+            tts = StreamingTTS(
+                {"decoder": sd.init_params(k1, self.cfg.tts.decoder),
+                 "codec": codec_mod.init_params(k2, self.cfg.tts.codec)},
+                self.cfg.tts, seed=args.seed)
+            self.responder = DuplexResponder(self.pipeline.core, tts, self.cfg)
 
     async def handler(self, ws):
         from ..duplex.engine import DuplexSession
@@ -81,7 +107,7 @@ class Server:
                         session.release()
                     session = DuplexSession(
                         self.pipeline, self.cfg, sink=sink,
-                        sid=msg.get("sid", ""))
+                        sid=msg.get("sid", ""), responder=self.responder)
                     session.warmup()
                     session.start()
                     await ws.send(json.dumps(
@@ -136,7 +162,11 @@ def _jsonable(payload: dict) -> dict:
         if isinstance(v, (np.floating, np.integer)):
             out[k] = v.item()
         elif isinstance(v, np.ndarray):
-            continue  # raw audio is not rebroadcast over the event stream
+            if k == "pcm":  # responder audio travels as base64 s16le
+                out["pcm_b64"] = base64.b64encode(
+                    (np.clip(v, -1, 1) * 32767).astype("<i2").tobytes()
+                ).decode()
+            # other raw arrays are not rebroadcast over the event stream
         elif isinstance(v, dict):
             out[k] = _jsonable(v)
         else:

@@ -32,10 +32,22 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.flo
 
 def linear(p, x):
     if "w_q" in p:
-        # weight-only int8 (ops/quant.py): dequant fused into the matmul by XLA
-        w = (p["w_q"].astype(x.dtype)
-             * p["scale"].astype(x.dtype)[..., None, :])
-        y = jnp.einsum("...i,io->...o", x, w)
+        # weight-only int8 (ops/quant.py). On TPU this MUST go through the
+        # Pallas dequant-matmul: an XLA-level dequant inside a decode loop gets
+        # hoisted as loop-invariant and materializes the entire bf16 weight
+        # stack (~13 GB for 7B), OOMing the chip.
+        if jax.default_backend() == "tpu" and p["w_q"].ndim == 2:
+            from ..ops.quant_matmul import pick_blocks, quant_matmul
+
+            K, O = p["w_q"].shape
+            bk, bo = pick_blocks(K, O)
+            lead = x.shape[:-1]
+            y = quant_matmul(x.reshape(-1, K), p["w_q"], p["scale"],
+                             block_k=bk, block_o=bo).reshape(*lead, O)
+        else:
+            w = (p["w_q"].astype(x.dtype)
+                 * p["scale"].astype(x.dtype)[..., None, :])
+            y = jnp.einsum("...i,io->...o", x, w)
     else:
         y = jnp.einsum("...i,io->...o", x, p["w"])
     if "b" in p:

@@ -178,8 +178,21 @@ def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,
         x = x + ffn
         return x, (k_cache, v_cache)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer_fn, embeds, (params["layers"], cache.k, cache.v))
+    if isinstance(params["layers"], (list, tuple)):
+        # unrolled layer loop: used with int8 weights, whose stacked form
+        # triggers a whole-stack relayout copy at while-loop entry on TPU
+        # (see ops/quant_matmul.py); per-layer buffers avoid it
+        x = embeds
+        new_ks, new_vs = [], []
+        for i, lp in enumerate(params["layers"]):
+            x, (nk, nv) = layer_fn(x, (lp, cache.k[i], cache.v[i]))
+            new_ks.append(nk)
+            new_vs.append(nv)
+        new_k = jnp.stack(new_ks)
+        new_v = jnp.stack(new_vs)
+    else:
+        x, (new_k, new_v) = jax.lax.scan(
+            layer_fn, embeds, (params["layers"], cache.k, cache.v))
     x = rms_norm(params["final_norm"], x, cfg.rms_eps)
 
     new_cache = KVCache(k=new_k, v=new_v, length=cache.length + n_new)

@@ -47,11 +47,20 @@ def quantize_embedding(p: dict) -> dict:
 def quantize_llm_params(params: dict, quantize_embeddings: bool = True) -> dict:
     """Quantize the transformer layer projections (q/k/v/o/gate/up/down) and —
     by default — the token embedding (per-row) and lm_head (per-column); norms
-    stay full precision."""
+    stay full precision.
+
+    Layers are returned as a per-layer LIST (models/qwen2.forward unrolls it):
+    stacked int8 arrays feeding Pallas calls inside a while-loop trigger a
+    whole-stack relayout copy at loop entry on TPU and OOM the chip."""
     out = dict(params)
-    layers = dict(params["layers"])
-    for name in ("q", "k", "v", "o", "gate", "up", "down"):
-        layers[name] = quantize_linear(layers[name])
+    stacked = params["layers"]
+    num_layers = jax.tree.leaves(stacked)[0].shape[0]
+    layers = []
+    for i in range(num_layers):
+        lp = jax.tree.map(lambda a: a[i], stacked)
+        for name in ("q", "k", "v", "o", "gate", "up", "down"):
+            lp[name] = quantize_linear(lp[name])
+        layers.append(lp)
     out["layers"] = layers
     if quantize_embeddings:
         out["embed"] = quantize_embedding(params["embed"])
