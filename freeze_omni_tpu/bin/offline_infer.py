@@ -67,6 +67,15 @@ def synthesize_sentence(pipeline: InferencePipeline, tts: StreamingTTS,
 
 def run_inference(cfg: SystemConfig, args, pipeline=None, tts_params=None):
     with span("init"):
+        model_path = getattr(args, "model_path", None)
+        if pipeline is None and model_path:
+            # converted reference checkpoints (utils/factory.py)
+            from ..utils.factory import build_system_from_reference
+
+            cfg, audiollm_params, tts_params = build_system_from_reference(
+                model_path, args.llm_path)
+            pipeline = InferencePipeline(cfg, params=audiollm_params,
+                                         seed=args.seed)
         if pipeline is None:
             pipeline = InferencePipeline(cfg, seed=args.seed)
         if tts_params is None:

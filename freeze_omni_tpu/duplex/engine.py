@@ -207,6 +207,18 @@ class DuplexSession:
 
     def _predict_stage(self, feat: dict) -> None:
         identity = feat["identity"]
+        # The reference lets the shared KV grow unbounded within a session
+        # (SURVEY.md §5 long-context note); here the cache is fixed-capacity,
+        # so approaching it triggers a context reset back to the role prefill.
+        kv_len = int(np.asarray(self.past_key_values.length)[0])
+        cap = self.past_key_values.k.shape[2]
+        if kv_len > cap - 64:
+            self.sink.emit("error", {
+                "where": "context", "message":
+                f"KV near capacity ({kv_len}/{cap}); resetting context"})
+            self.past_key_values = self.system_role_kv
+            self.caches = {i: {"encoder_cache": None, "adapter_cache": None,
+                               "pe_index": 0} for i in IDENTITIES}
         c = self.caches[identity]
         pred, kv, adp, enc, pe = self.pipeline.speech_dialogue(
             feat["feature"], identity, feat["status"],

@@ -59,14 +59,14 @@ class _Core:
     """Shared compiled-step holder."""
 
     def __init__(self, cfg: SystemConfig, params: Optional[dict] = None,
-                 tokenizer=None, seed: int = 0):
+                 tokenizer=None, seed: int = 0, llm_dtype=jnp.float32):
         self.cfg = cfg
         self.acfg = cfg.audio_llm
         self.tokenizer = tokenizer or ByteTokenizer(cfg.audio_llm.llm.vocab_size)
         self.chat = ChatTemplate(self.tokenizer)
         if params is None:
             params = audio_llm.init_params(jax.random.PRNGKey(seed), self.acfg,
-                                           llm_dtype=jnp.float32)
+                                           llm_dtype=llm_dtype)
         self.params = params
         self._rng = jax.random.PRNGKey(seed + 1)
 
@@ -94,7 +94,10 @@ class _Core:
 
     def role_kv(self, role: str) -> qwen2.KVCache:
         ids = jnp.asarray(self.chat.role_prompt_ids(role))[None]
-        kv = qwen2.init_cache(self.acfg.llm, 1, dtype=jnp.float32)
+        kv_dtype = jax.tree.leaves(self.params["llm"])[0].dtype
+        kv = qwen2.init_cache(self.acfg.llm, 1,
+                              dtype=kv_dtype if kv_dtype != jnp.int8
+                              else jnp.bfloat16)
         return self._prefill_tokens(self.params, self.acfg, ids, kv)
 
 

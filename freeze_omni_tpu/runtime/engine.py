@@ -31,7 +31,7 @@ class ServingEngine:
     def __init__(self, cfg: SystemConfig, params: Optional[dict] = None,
                  tokenizer=None, seed: int = 0, kv_dtype=jnp.float32):
         self.cfg = cfg
-        self.core = _Core(cfg, params, tokenizer, seed)
+        self.core = _Core(cfg, params, tokenizer, seed, llm_dtype=kv_dtype)
         self.store = SessionStore(cfg.audio_llm, cfg.serving.max_sessions,
                                   kv_dtype)
         self._recognize = jax.jit(
@@ -42,6 +42,7 @@ class ServingEngine:
             i: {} for i in IDENTITIES}
         self._callbacks: Dict[int, Callable[[str, dict], None]] = {}
         self._role_kv_cache: Dict[str, qwen2.KVCache] = {}
+        self._slot_role: Dict[int, str] = {}
 
     # ------------------------------------------------------------------
     # session management
@@ -54,6 +55,7 @@ class ServingEngine:
             self._role_kv_cache[role] = self.core.role_kv(role)
         with self._lock:
             slot = self.store.alloc(sid, self._role_kv_cache[role])
+            self._slot_role[slot] = role
             if on_prediction is not None:
                 self._callbacks[slot] = on_prediction
         return slot
@@ -88,6 +90,14 @@ class ServingEngine:
         """Run one batched step per identity with pending work. Returns
         {identity: {slot: {'state_1','state_2'}}} for user predictions."""
         results: Dict[str, Dict[int, dict]] = {}
+        # fixed-capacity KV: sessions nearing it restart from their role prefill
+        cap = self.store.caches.kv.k.shape[2]
+        lengths = np.asarray(self.store.caches.kv.length)
+        for sid in list(self.store.active_sids):
+            slot = self.store.slot_of(sid)
+            if lengths[slot] > cap - 64:
+                role_kv = self._role_kv_cache.get(self._slot_role.get(slot))
+                self.store.reset_slot(slot, role_kv)
         for identity in IDENTITIES:
             with self._lock:
                 pending = self._pending[identity]

@@ -1,0 +1,45 @@
+import json
+
+import numpy as np
+
+from freeze_omni_tpu.utils.metrics import cer, corpus_score, edit_distance, wer
+
+
+class TestMetrics:
+    def test_edit_distance(self):
+        assert edit_distance("abc", "abc") == 0
+        assert edit_distance("abc", "axc") == 1
+        assert edit_distance("abc", "") == 3
+        assert edit_distance("", "ab") == 2
+        assert edit_distance("kitten", "sitting") == 3
+
+    def test_wer_cer(self):
+        assert wer("the cat sat", "the cat sat") == 0.0
+        assert abs(wer("the cat sat", "the bat sat") - 1 / 3) < 1e-9
+        assert cer("abcd", "abxd") == 0.25
+        # punctuation/case-insensitive
+        assert wer("Hello, World!", "hello world") == 0.0
+
+    def test_corpus_score_weighted(self):
+        pairs = [("aaaa", "aaaa"), ("bb", "cc")]
+        assert abs(corpus_score(pairs, char_level=True) - 2 / 6) < 1e-9
+
+
+class TestAsrEvalHarness:
+    def test_harness_end_to_end(self, tmp_path, capsys):
+        from freeze_omni_tpu.bin.asr_eval import main
+        from freeze_omni_tpu.frontend.wav import write_wav
+
+        sr = 16000
+        t = np.arange(sr // 2) / sr
+        p1 = tmp_path / "a.wav"
+        write_wav(str(p1), (0.3 * np.sin(2 * np.pi * 250 * t)).astype(np.float32), sr)
+        manifest = tmp_path / "dev.tsv"
+        manifest.write_text(f"{p1}\thello world\n")
+
+        main(["--preset", "tiny", "--manifest", str(manifest),
+              "--max_tokens", "6"])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        res = json.loads(out)
+        assert res["metric"] == "wer" and res["n_utts"] == 1
+        assert 0.0 <= res["value"] <= 400.0  # random weights: garbage hyp
