@@ -29,11 +29,43 @@ IDENTITIES = ("user", "system")
 
 class ServingEngine:
     def __init__(self, cfg: SystemConfig, params: Optional[dict] = None,
-                 tokenizer=None, seed: int = 0, kv_dtype=jnp.float32):
+                 tokenizer=None, seed: int = 0, kv_dtype=jnp.float32,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh('data','model'). When given, the
+        frozen LLM is placed tensor-parallel over 'model' (heads/ffn split, XLA
+        collectives over ICI) and the batched KV cache shards kv-heads over
+        'model' / sessions over 'data' — the multi-chip serving layout of
+        parallel/mesh.py. The reference has no distributed serving (SURVEY.md
+        §2.3); one replica per ~15GB GPU is replaced by one sharded model."""
         self.cfg = cfg
         self.core = _Core(cfg, params, tokenizer, seed, llm_dtype=kv_dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import mesh as pmesh
+
+            self.core.params["llm"] = pmesh.shard_llm_params(
+                self.core.params["llm"], mesh, cfg.audio_llm.llm)
+            repl = NamedSharding(mesh, P())
+            for k in ("encoder_user", "encoder_system", "adapter_user",
+                      "adapter_system", "predictor"):
+                self.core.params[k] = jax.tree.map(
+                    lambda x: jax.device_put(x, repl), self.core.params[k])
         self.store = SessionStore(cfg.audio_llm, cfg.serving.max_sessions,
                                   kv_dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import kv_cache_specs
+
+            kv_sharding = NamedSharding(mesh, kv_cache_specs())
+            repl = NamedSharding(mesh, P())
+            self.store.caches = self.store.caches._replace(
+                kv=qwen2.KVCache(
+                    k=jax.device_put(self.store.caches.kv.k, kv_sharding),
+                    v=jax.device_put(self.store.caches.kv.v, kv_sharding),
+                    length=jax.device_put(self.store.caches.kv.length, repl)))
         self._recognize = jax.jit(
             audio_llm.recognize_step, static_argnames=("cfg", "identity"))
         self._lock = threading.Lock()

@@ -99,6 +99,31 @@ class TestServingEngine:
         assert len(seen) == 1 and 0 <= seen[0]["state_1"] <= 1
 
 
+class TestShardedServing:
+    def test_engine_with_tensor_parallel_mesh(self):
+        """The serving engine on a ('data','model') mesh must produce the same
+        predictions as the unsharded engine (XLA inserts the collectives)."""
+        from freeze_omni_tpu.parallel.mesh import make_mesh
+
+        cfg = tiny_system()  # llm num_kv_heads=2 -> model axis 2
+        mesh = make_mesh((1, 2), ("data", "model"))
+        engine = ServingEngine(cfg, seed=0, mesh=mesh)
+        plain = ServingEngine(cfg, seed=0)
+
+        for e in (engine, plain):
+            e.open_session("s1", role="TP parity.")
+        chunks = _chunks(7, 2)
+        results = []
+        for e in (engine, plain):
+            out = []
+            for i, c in enumerate(chunks):
+                e.submit_chunk("s1", "user", c, is_sl=(i == 0))
+                out.append(e.tick()["user"][e.store.slot_of("s1")])
+            results.append(out)
+        for a, b in zip(*results):
+            assert abs(a["state_1"] - b["state_1"]) < 2e-3, (a, b)
+
+
 class TestPipelinePool:
     def test_pool_api_parity(self):
         cfg = tiny_system()
