@@ -97,7 +97,17 @@ class DuplexSession:
 
         def loop():
             while not self._stop.is_set():
-                if not self.pump():
+                try:
+                    worked = self.pump()
+                except Exception as e:
+                    # failure containment (the reference's try/except ->
+                    # release() teardown, dialog_state_pred.py:595-598): emit,
+                    # drop the poisoned queues, keep the session alive
+                    self.sink.emit("error", {"where": "pump", "message": str(e)})
+                    for q in self.pcm.values():
+                        q.clear()
+                    worked = False
+                if not worked:
                     time.sleep(interval)
 
         self._worker = threading.Thread(target=loop, daemon=True)
