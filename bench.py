@@ -154,10 +154,8 @@ def main():
                        dataclasses.replace(cfg.tts, seam_threshold=1e9), seed=0)
     sampling = cfg.sampling
 
-    prefill_sample = jax.jit(audio_llm.prefill_and_sample,
-                             static_argnames=("cfg", "sampling"))
-    generate_seg = jax.jit(
-        audio_llm.generate_segment,
+    prefill_generate = jax.jit(
+        audio_llm.prefill_and_generate,
         static_argnames=("cfg", "sampling", "n_steps", "eod_id"))
     recognize = jax.jit(audio_llm.recognize_step,
                         static_argnames=("cfg", "identity"))
@@ -179,22 +177,17 @@ def main():
     def one_trial(caches, key, timed: bool):
         t_start = time.perf_counter()
         marks = {}
-        # a) assistant-prefix prefill + first token (one dispatch)
-        tok, hidden0, kv2 = prefill_sample(params, acfg, assistant_ids,
-                                           caches.kv, key, sampling)
-        # b) rest of the first text chunk in ONE on-device segment
-        key, k = jax.random.split(key)
-        toks, hiddens, done, kv2 = generate_seg(
-            params, acfg, tok, kv2, k, sampling,
+        # a+b) assistant-prefix prefill + first text chunk: ONE dispatch
+        toks, hiddens, done, kv2 = prefill_generate(
+            params, acfg, assistant_ids, caches.kv, key, sampling,
             n_steps=args.sentence_tokens - 1, eod_id=-1)
-        tok_ids = np.concatenate([np.asarray(tok), np.asarray(toks)[0]])
+        tok_ids = np.asarray(toks)[0]
+        hiddens = np.asarray(hiddens, np.float32)
         marks["first_text_chunk_ms"] = (time.perf_counter() - t_start) * 1e3
-        # c) speech decoder + codec to first PCM
+        # c) speech decoder + codec to first PCM (one fused dispatch inside)
         text_emb = qwen2.embed_tokens(params["llm"], jnp.asarray(tok_ids)[None])
         text_emb = np.asarray(text_emb, np.float32).reshape(-1, dec_idim)[None]
-        prefix = np.concatenate(
-            [np.asarray(hidden0, np.float32)[:, None],
-             np.asarray(hiddens, np.float32)], axis=1).reshape(-1, dec_idim)[None]
+        prefix = hiddens.reshape(-1, dec_idim)[None]
         for seg in tts.run(text_emb, prefix=prefix, top_k=2):
             first_pcm = seg
             break

@@ -43,6 +43,9 @@ def get_args(argv=None):
                         "speaks back (response_text/response_audio events)")
     p.add_argument("--resp_threshold", type=float, default=None,
                    help="override dialog_state_decision.resp_threshold")
+    p.add_argument("--http_port", type=int, default=0,
+                   help="also serve the monitoring GUI (monitor.html) over "
+                        "HTTP on this port")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--timeout", type=float, default=None,
                    help="stop serving after N seconds (for smoke tests)")
@@ -143,9 +146,39 @@ class Server:
             except Exception:
                 return
 
+    def _start_http(self):
+        """Monitoring GUI (ENHANCED_DEMO.md role) over plain HTTP."""
+        import functools
+        import http.server
+        import os
+        import threading
+
+        page = open(os.path.join(os.path.dirname(__file__),
+                                 "monitor.html")).read()
+        page = page.replace("window.WS_PORT || 8765",
+                            str(self.args.port))
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(h):
+                h.send_response(200)
+                h.send_header("Content-Type", "text/html; charset=utf-8")
+                h.end_headers()
+                h.wfile.write(page.encode())
+
+            def log_message(h, *a):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(
+            (self.args.host, self.args.http_port), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        print(f"monitor GUI on http://{self.args.host}:{self.args.http_port}",
+              flush=True)
+
     async def run(self):
         import websockets
 
+        if self.args.http_port:
+            self._start_http()
         async with websockets.serve(self.handler, self.args.host,
                                     self.args.port):
             print(f"serving on ws://{self.args.host}:{self.args.port}",

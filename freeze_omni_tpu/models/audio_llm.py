@@ -242,6 +242,22 @@ def generate_segment(
     return (jnp.swapaxes(toks, 0, 1), jnp.swapaxes(hiddens, 0, 1), done, kv)
 
 
+def prefill_and_generate(
+    params, cfg: AudioLLMConfig, ids: jnp.ndarray, kv: qwen2.KVCache,
+    rng, sampling: SamplingConfig, n_steps: int, eod_id: int,
+):
+    """Fused 'dialog_ss' + first text segment in ONE dispatch: assistant-prefix
+    prefill, first-token sample, then an on-device n-step generation scan.
+    Returns (tokens [B, 1+n], hiddens [B, 1+n, D], done [B], kv)."""
+    k0, k1 = jax.random.split(rng)
+    tok0, h0, kv = prefill_and_sample(params, cfg, ids, kv, k0, sampling)
+    toks, hiddens, done, kv = generate_segment(
+        params, cfg, tok0, kv, k1, sampling, n_steps=n_steps, eod_id=eod_id)
+    tokens = jnp.concatenate([tok0[:, None], toks], axis=1)
+    hiddens = jnp.concatenate([h0[:, None], hiddens], axis=1)
+    return tokens, hiddens, done, kv
+
+
 def prefill_and_sample(
     params, cfg: AudioLLMConfig, ids: jnp.ndarray, kv: qwen2.KVCache,
     rng, sampling: SamplingConfig,
