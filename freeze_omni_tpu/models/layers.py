@@ -30,13 +30,17 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.flo
     return p
 
 
+QUANT_USE_PALLAS = True  # flip off to A/B the XLA dequant path
+
+
 def linear(p, x):
     if "w_q" in p:
-        # weight-only int8 (ops/quant.py). On TPU this MUST go through the
+        # weight-only int8 (ops/quant.py). On TPU this goes through the
         # Pallas dequant-matmul: an XLA-level dequant inside a decode loop gets
         # hoisted as loop-invariant and materializes the entire bf16 weight
         # stack (~13 GB for 7B), OOMing the chip.
-        if jax.default_backend() == "tpu" and p["w_q"].ndim == 2:
+        if (QUANT_USE_PALLAS and jax.default_backend() == "tpu"
+                and p["w_q"].ndim == 2):
             from ..ops.quant_matmul import pick_blocks, quant_matmul
 
             K, O = p["w_q"].shape
