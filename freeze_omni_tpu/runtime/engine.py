@@ -167,6 +167,24 @@ class ServingEngine:
         return results
 
 
+    # ------------------------------------------------------------------
+    # response generation (per session, on the shared batched caches)
+    # ------------------------------------------------------------------
+
+    def respond(self, sid: str, responder) -> list:
+        """Generate a spoken response for one session using its slot's shared
+        KV context: gather the slot, run the DuplexResponder (on-device text
+        segments + TTS), scatter the advanced KV back. Returns
+        [(sentence_text, pcm16 | None), ...]."""
+        slot = self.store.slot_of(sid)
+        kv = self.store.gather_kv(slot)
+        out = []
+        for text, pcm16, kv in responder.respond(kv):
+            out.append((text, pcm16))
+        self.store.scatter_kv(slot, kv)
+        return out
+
+
 class PipelinePool:
     """API-parity facade for bin/pool.py's pipelineObjectPool (acquire by least
     user-count, release decrements), backed by ONE ServingEngine — pool

@@ -94,3 +94,28 @@ class SessionStore:
 
     def kv_length(self, slot: int) -> int:
         return int(np.asarray(self.caches.kv.length)[slot])
+
+    def gather_slot(self, slot: int) -> audio_llm.SessionCaches:
+        """Extract one session's caches as a batch-1 pytree (for per-session
+        work like response generation)."""
+        def take(leaf, ax):
+            sl = jnp.take(leaf, jnp.asarray([slot]), axis=ax) \
+                if ax is not None else leaf
+            return sl
+
+        return jax.tree.map(take, self.caches, self._axes)
+
+    def scatter_slot(self, slot: int, row: audio_llm.SessionCaches) -> None:
+        """Write a batch-1 caches pytree back into the slot."""
+        def squeeze(leaf, ax):
+            return jnp.take(leaf, 0, axis=ax) if ax is not None else leaf
+
+        row_sq = jax.tree.map(squeeze, row, self._axes)
+        self.caches = _set_row(row_sq, self.caches, slot, self._axes)
+
+    def gather_kv(self, slot: int) -> qwen2.KVCache:
+        return self.gather_slot(slot).kv
+
+    def scatter_kv(self, slot: int, kv: qwen2.KVCache) -> None:
+        row = self.gather_slot(slot)._replace(kv=kv)
+        self.scatter_slot(slot, row)

@@ -124,6 +124,43 @@ class TestShardedServing:
             assert abs(a["state_1"] - b["state_1"]) < 2e-3, (a, b)
 
 
+class TestEngineRespond:
+    def test_respond_on_slot_advances_kv(self):
+        import jax
+
+        from freeze_omni_tpu.duplex.responder import DuplexResponder
+        from freeze_omni_tpu.models import codec as codec_mod
+        from freeze_omni_tpu.models import speech_decoder as sd
+        from freeze_omni_tpu.tts import StreamingTTS
+
+        cfg = dataclasses.replace(
+            tiny_system(),
+            tts=dataclasses.replace(tiny_system().tts, max_tokens=16))
+        engine = ServingEngine(cfg, seed=0)
+        engine.open_session("s1")
+        engine.submit_chunk("s1", "user", _chunks(11, 1)[0], is_sl=True)
+        engine.tick()
+        slot = engine.store.slot_of("s1")
+        before = engine.store.kv_length(slot)
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+        tts = StreamingTTS({"decoder": sd.init_params(k1, cfg.tts.decoder),
+                            "codec": codec_mod.init_params(k2, cfg.tts.codec)},
+                           cfg.tts)
+        responder = DuplexResponder(engine.core, tts, cfg, max_tokens=8,
+                                    segment=8)
+        out = engine.respond("s1", responder)
+        assert len(out) >= 1
+        text, pcm = out[0]
+        assert isinstance(text, str)
+        after = engine.store.kv_length(slot)
+        assert after > before  # assistant prefix + generated tokens in the slot
+
+        # other slots untouched
+        engine.open_session("s2")
+        assert engine.store.kv_length(engine.store.slot_of("s2")) > 0
+
+
 class TestPipelinePool:
     def test_pool_api_parity(self):
         cfg = tiny_system()
