@@ -46,6 +46,10 @@ def get_args(argv=None):
     p.add_argument("--http_port", type=int, default=0,
                    help="also serve the monitoring GUI (monitor.html) over "
                         "HTTP on this port")
+    p.add_argument("--engine", action="store_true",
+                   help="serve all sessions through the continuous-batching "
+                        "DuplexService (one batched device step per tick) "
+                        "instead of per-session pipelines")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--timeout", type=float, default=None,
                    help="stop serving after N seconds (for smoke tests)")
@@ -65,7 +69,28 @@ class Server:
             self.cfg = dataclasses.replace(
                 self.cfg, duplex=dataclasses.replace(
                     self.cfg.duplex, resp_threshold=args.resp_threshold))
-        self.pipeline = DuplexPipeline(self.cfg, seed=args.seed)
+        self.service = None
+        if args.engine:
+            import dataclasses as _dc
+            import threading
+
+            from ..runtime.service import DuplexService
+
+            cfg = _dc.replace(self.cfg, serving=_dc.replace(
+                self.cfg.serving, max_sessions=args.max_sessions))
+            self.cfg = cfg
+            self.service = DuplexService(cfg, seed=args.seed)
+            self.pipeline = None
+            self._svc_stop = threading.Event()
+
+            def ticker():
+                while not self._svc_stop.is_set():
+                    if not self.service.step():
+                        self._svc_stop.wait(0.01)
+
+            threading.Thread(target=ticker, daemon=True).start()
+        else:
+            self.pipeline = DuplexPipeline(self.cfg, seed=args.seed)
         self.sessions = {}
         self.responder = None
         if args.respond:
@@ -100,30 +125,42 @@ class Server:
             sink.on(ev, fwd)
 
         session = None
+        svc_sid = None
         sender = asyncio.create_task(self._sender(ws, outbox))
         try:
             async for raw in ws:
                 msg = json.loads(raw)
                 t = msg.get("type")
                 if t == "start_session":
-                    if session is not None:
-                        session.release()
-                    session = DuplexSession(
-                        self.pipeline, self.cfg, sink=sink,
-                        sid=msg.get("sid", ""), responder=self.responder)
-                    session.warmup()
-                    session.start()
+                    sid = msg.get("sid", "") or f"anon-{id(ws)}"
+                    if self.service is not None:
+                        if svc_sid is not None:
+                            self.service.close_session(svc_sid)
+                        svc_sid = sid
+                        self.service.open_session(sid, sink=sink)
+                    else:
+                        if session is not None:
+                            session.release()
+                        session = DuplexSession(
+                            self.pipeline, self.cfg, sink=sink,
+                            sid=sid, responder=self.responder)
+                        session.warmup()
+                        session.start()
                     await ws.send(json.dumps(
-                        {"event": "session_ready", "sid": msg.get("sid", "")}))
+                        {"event": "session_ready", "sid": sid}))
                 elif t == "audio":
-                    if session is None:
+                    if session is None and svc_sid is None:
                         await ws.send(json.dumps(
                             {"event": "error", "message": "no session"}))
                         continue
                     pcm = base64.b64decode(msg["pcm_b64"])
-                    session.enqueue_audio_data(msg["identity"], {
-                        "audio": pcm, "sr": msg.get("sr", 16000),
-                        "enc": "s16le", "time_stamp": msg.get("time_stamp")})
+                    data = {"audio": pcm, "sr": msg.get("sr", 16000),
+                            "enc": "s16le", "time_stamp": msg.get("time_stamp")}
+                    if self.service is not None:
+                        self.service.enqueue_audio_data(
+                            svc_sid, msg["identity"], data)
+                    else:
+                        session.enqueue_audio_data(msg["identity"], data)
                 elif t == "reset":
                     if session is not None:
                         session.reset_context()
@@ -137,6 +174,8 @@ class Server:
             sender.cancel()
             if session is not None:
                 session.release()
+            if svc_sid is not None:
+                self.service.close_session(svc_sid)
 
     async def _sender(self, ws, outbox):
         while True:

@@ -1,0 +1,196 @@
+"""DuplexService: many duplex sessions on one batched device step.
+
+The production composition of SURVEY §7.6-7.7: each session keeps its
+host-side frontend (VAD, fbank gating, timestamp serializer, IPU lifecycle,
+events) exactly as in duplex/engine.DuplexSession, but dialog-state prediction
+goes through the continuous-batching ServingEngine — one compiled step per
+identity per service tick serves every session's 224 ms chunk together,
+instead of one device dispatch per session (the reference's replica pools,
+bin/pool.py, scaled by copying the model).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import SystemConfig
+from ..duplex.events import EventSink
+from ..duplex.ipu import IPUHandle
+from ..duplex.serializer import ContextSerializer
+from ..duplex.vad import EnergyVAD
+from ..frontend.chunker import GatingChunker
+from ..utils.queues import PCMQueue
+from .engine import ServingEngine
+
+IDENTITIES = ("user", "system")
+
+
+class _SessionFrontend:
+    """Host-side per-session state (device caches live in the engine)."""
+
+    def __init__(self, sid: str, cfg: SystemConfig, sink: EventSink,
+                 user_ipu_outlets: Optional[List] = None):
+        self.sid = sid
+        self.cfg = cfg
+        self.sink = sink
+        self.user_ipu_outlets = user_ipu_outlets or []
+        gating_cfg = cfg.duplex.gating
+        vad_cfg = dataclasses.replace(cfg.duplex.vad,
+                                      chunk_size=gating_cfg.samples_per_chunk)
+        self.pcm = {i: PCMQueue() for i in IDENTITIES}
+        self.vad = {i: EnergyVAD(vad_cfg) for i in IDENTITIES}
+        self.gating = {i: GatingChunker(gating_cfg) for i in IDENTITIES}
+        self.serializer = ContextSerializer()
+        self.current_ipu: Dict[str, Optional[IPUHandle]] = {
+            i: None for i in IDENTITIES}
+        self.first_chunk_sent = {i: False for i in IDENTITIES}
+
+
+class DuplexService:
+    def __init__(self, cfg: SystemConfig, engine: Optional[ServingEngine] = None,
+                 seed: int = 0, **engine_kw):
+        self.cfg = cfg
+        self.engine = engine or ServingEngine(cfg, seed=seed, **engine_kw)
+        self.sessions: Dict[str, _SessionFrontend] = {}
+        self._lock = threading.Lock()
+        self.resp_threshold = cfg.duplex.resp_threshold
+
+    # ------------------------------------------------------------------
+
+    def open_session(self, sid: str, role: Optional[str] = None,
+                     sink: Optional[EventSink] = None,
+                     user_ipu_outlets: Optional[List] = None) -> EventSink:
+        sink = sink or EventSink()
+        self.engine.open_session(sid, role=role)
+        with self._lock:
+            self.sessions[sid] = _SessionFrontend(sid, self.cfg, sink,
+                                                  user_ipu_outlets)
+        return sink
+
+    def close_session(self, sid: str) -> None:
+        with self._lock:
+            self.sessions.pop(sid, None)
+        self.engine.close_session(sid)
+
+    def enqueue_audio_data(self, sid: str, identity: str, data: dict) -> None:
+        fe = self.sessions[sid]
+        audio = data["audio"]
+        if isinstance(audio, (bytes, bytearray)):
+            fe.pcm[identity].push_s16le(bytes(audio))
+        else:
+            fe.pcm[identity].push(np.asarray(audio, np.float32))
+
+    # ------------------------------------------------------------------
+
+    def step(self) -> bool:
+        """One service tick: advance every session's frontend, submit at most
+        one feature per (session, identity), run the batched step, deliver
+        predictions. Returns True if any work was done."""
+        worked = False
+        submitted: Dict[str, dict] = {}  # sid -> feature meta for user chunks
+        with self._lock:
+            sessions = dict(self.sessions)
+
+        for sid, fe in sessions.items():
+            # frontend stages (identical semantics to DuplexSession)
+            for identity in IDENTITIES:
+                chunk = fe.pcm[identity].pull(fe.vad[identity].get_chunk_size())
+                if chunk is None:
+                    continue
+                worked = True
+                self._vad_stage(fe, identity, chunk)
+            # one serialized feature per identity per tick
+            taken = set()
+            while len(taken) < len(IDENTITIES):
+                feat = fe.serializer.get_next_feature()
+                if feat is None:
+                    if len(fe.serializer) == 0:
+                        break
+                    continue
+                ident = feat["identity"]
+                if ident in taken:
+                    # keep strict ordering: push back is not possible with the
+                    # heap API, so process next tick by re-adding
+                    fe.serializer.add_feature_chunk(feat)
+                    break
+                taken.add(ident)
+                worked = True
+                self.engine.submit_chunk(sid, ident, feat["feature"],
+                                         is_sl=(feat["status"] == "ipu_sl"))
+                if ident == "user":
+                    submitted[sid] = feat
+
+        results = self.engine.tick()
+        for sid, feat in submitted.items():
+            pred = results.get("user", {}).get(self.engine.store.slot_of(sid))
+            if pred is None:
+                continue
+            self._decide(self.sessions[sid], feat, pred)
+        return worked
+
+    # ------------------------------------------------------------------
+
+    def _vad_stage(self, fe: _SessionFrontend, identity: str,
+                   chunk: np.ndarray) -> None:
+        ts = time.time()
+        ann = fe.vad[identity].predict({"audio": chunk, "time_stamp": ts})
+        fe.sink.emit("vad_state_update", {"identity": identity,
+                                          "prob": ann["prob"], "time_stamp": ts})
+        status = ann["status"]
+        if status == "ipu_sl":
+            handle = IPUHandle(identity, ts)
+            fe.current_ipu[identity] = handle
+            if identity == "user":
+                for outlet in fe.user_ipu_outlets:
+                    outlet(handle)
+            handle.add_chunk(ann["audio"], ts)
+        elif status in ("ipu_cl", "ipu_el"):
+            handle = fe.current_ipu[identity]
+            if handle is not None:
+                handle.add_chunk(ann["audio"], ts)
+                if status == "ipu_el":
+                    handle.set_end_timestamp(ts)
+        if status is not None:
+            fe.sink.emit("vad_event", {
+                "identity": identity, "status": status,
+                "ipu_id": getattr(fe.current_ipu[identity], "id", None),
+                "time_stamp": ts})
+
+        gated = fe.gating[identity].process_and_gate(
+            {"audio": ann["audio"], "status": status})
+        if gated is None:
+            return
+        replay = gated.get("feature_last_chunk", [])
+        if replay and gated["status"] == "ipu_sl":
+            seq = [(f, "ipu_sl" if i == 0 else "ipu_cl")
+                   for i, f in enumerate(replay)]
+            seq.append((gated["feature"], "ipu_cl"))
+        else:
+            seq = [(gated["feature"], gated["status"])]
+        for k, (f, st) in enumerate(seq):
+            fe.serializer.add_feature_chunk({
+                "time_stamp": ts + 1e-6 * k, "identity": identity,
+                "status": st, "feature": np.asarray(f, np.float32),
+                "ipu_id": getattr(fe.current_ipu[identity], "id", None)})
+
+    def _decide(self, fe: _SessionFrontend, feat: dict, pred: dict) -> None:
+        ts = feat["time_stamp"]
+        decision = "dialog_cl"
+        if pred["state_1"] > self.resp_threshold:
+            decision = "dialog_ss"
+            fe.sink.emit("dialog_ss_callback", {
+                "ipu_id": feat.get("ipu_id"), "state_1": pred["state_1"],
+                "time_stamp": ts})
+        elif pred["state_2"] > self.resp_threshold:
+            decision = "dialog_el"
+        fe.sink.emit("dialog_state_update", {
+            "state": decision, "probs": pred, "time_stamp": ts})
+        handle = fe.current_ipu["user"]
+        if handle is not None:
+            handle.register_response_state(
+                {"time_stamp": ts, "decision": decision, **pred})

@@ -1,0 +1,74 @@
+import numpy as np
+
+from freeze_omni_tpu.config import tiny_system
+from freeze_omni_tpu.runtime.service import DuplexService
+
+
+def _speech(n, seed=0):
+    t = np.arange(n) / 16000
+    return (0.5 * np.sin(2 * np.pi * 210 * t)).astype(np.float32)
+
+
+class TestDuplexService:
+    def test_two_sessions_share_batched_ticks(self):
+        cfg = tiny_system()
+        svc = DuplexService(cfg, seed=0)
+        sinks = {sid: svc.open_session(sid) for sid in ("a", "b")}
+
+        n = cfg.duplex.gating.samples_per_chunk
+        quiet = np.zeros(n, np.float32)
+        for sid in ("a", "b"):
+            svc.enqueue_audio_data(sid, "user", {"audio": quiet})
+        svc.step()
+        for sid in ("a", "b"):
+            svc.enqueue_audio_data(sid, "user", {"audio": _speech(2 * n)})
+            svc.enqueue_audio_data(sid, "user", {"audio": np.zeros(3 * n,
+                                                                   np.float32)})
+        for _ in range(12):
+            if not svc.step():
+                break
+
+        for sid in ("a", "b"):
+            ev = sinks[sid]
+            statuses = [e["status"] for e in ev.events_of("vad_event")]
+            assert "ipu_sl" in statuses and "ipu_el" in statuses, (sid, statuses)
+            updates = ev.events_of("dialog_state_update")
+            assert len(updates) >= 2, sid
+            assert all(0 <= u["probs"]["state_1"] <= 1 for u in updates)
+
+        # per-session KV advanced independently in the shared store
+        la = svc.engine.store.kv_length(svc.engine.store.slot_of("a"))
+        lb = svc.engine.store.kv_length(svc.engine.store.slot_of("b"))
+        assert la > 0 and lb > 0
+
+        svc.close_session("a")
+        assert svc.engine.num_active == 1
+
+    def test_batched_service_matches_single_session_engine(self):
+        """A session served through DuplexService must produce the same state
+        probabilities as the same audio through a solo-session service (the
+        batching must not change results)."""
+        cfg = tiny_system()
+        n = cfg.duplex.gating.samples_per_chunk
+        audio = [np.zeros(n, np.float32), _speech(2 * n),
+                 np.zeros(2 * n, np.float32)]
+
+        def run(sids):
+            svc = DuplexService(cfg, seed=0)
+            sinks = {sid: svc.open_session(sid, role="Parity.") for sid in sids}
+            for a in audio:
+                for sid in sids:
+                    svc.enqueue_audio_data(sid, "user", {"audio": a})
+            for _ in range(16):
+                if not svc.step():
+                    break
+            return {sid: [u["probs"]["state_1"]
+                          for u in sinks[sid].events_of("dialog_state_update")]
+                    for sid in sids}
+
+        solo = run(["x"])["x"]
+        duo = run(["x", "y"])
+        assert len(solo) >= 2
+        for sid in ("x", "y"):
+            assert len(duo[sid]) == len(solo)
+            np.testing.assert_allclose(duo[sid], solo, atol=1e-4)
