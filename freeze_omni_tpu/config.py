@@ -432,6 +432,12 @@ def from_reference_train_yaml(configs: dict) -> AudioLLMConfig:
     argparse, + model_conf as AudioLLM kwargs) onto the typed config tree."""
     enc_conf = configs.get("encoder_conf", {})
     over = dict(enc_conf.get("overview_conf", {}))
+    layer_config = over.get("encoder-layer-config", "subsampling-transformer")
+    if layer_config != "subsampling-transformer":
+        raise ValueError(
+            f"unsupported encoder-layer-config {layer_config!r}: this rebuild "
+            "implements the subsampling-transformer topology the Freeze-Omni "
+            "checkpoints use (models/encoder/encoder.py:59-89)")
     para = enc_conf.get("para_conf", {})
     tr = {k.replace("transformer-", "").replace("-", "_"): v
           for k, v in dict(para.get("transformer", {})).items()

@@ -105,6 +105,13 @@ def init_params(key, cfg: EncoderConfig, dtype=jnp.float32) -> dict:
             p["ffn_dw"] = conv1d_init(kc[0], d, d, kk, groups=d, dtype=dtype)
             p["ffn_pw"] = conv1d_init(kc[1], d, cfg.linear_units, 1, dtype=dtype)
             p["ffn2"] = linear_init(kc[2], cfg.linear_units, d, dtype=dtype)
+        elif cfg.positionwise == "conv1d":
+            from .layers import conv1d_init
+
+            kc = jax.random.split(ks[7], 2)
+            kk = cfg.positionwise_conv_kernel
+            p["ffn_c1"] = conv1d_init(kc[0], d, cfg.linear_units, kk, dtype=dtype)
+            p["ffn_c2"] = conv1d_init(kc[1], cfg.linear_units, d, kk, dtype=dtype)
         else:
             p["ffn1"] = linear_init(ks[7], d, cfg.linear_units, dtype=dtype)
             p["ffn2"] = linear_init(jax.random.fold_in(ks[7], 1),
@@ -168,13 +175,23 @@ def _rel_attention(bp, x_q, k_all, v_all, pos_emb, mask, cfg: EncoderConfig):
 
 
 def _ffn(bp, x, cfg: EncoderConfig, cache=None):
-    """Positionwise FFN. 'linear': w2(relu(w1 x)) (attention.py:123-143);
-    'conv1d-linear': depthwise+pointwise causal conv then linear, with a
-    left-context cache in streaming (attention.py:198-266). Returns
-    (y, new_cache)."""
+    """Positionwise FFN variants (attention.py:123-266):
+    'linear': w2(relu(w1 x));
+    'conv1d' (MultiLayeredConv1d): two symmetric-padded convs — batch only,
+    like the reference (no streaming infer exists for it);
+    'conv1d-linear' (Conv1dLinear): depthwise+pointwise causal conv then
+    linear, with a left-context cache in streaming. Returns (y, new_cache)."""
+    from .layers import conv1d
+
+    if cfg.positionwise == "conv1d":
+        k = cfg.positionwise_conv_kernel
+        pad = ((k - 1) // 2,) * 2
+        xc = jnp.swapaxes(x, 1, 2)
+        y = jax.nn.relu(conv1d(bp["ffn_c1"], xc, padding=pad))
+        y = conv1d(bp["ffn_c2"], y, padding=pad)
+        return jnp.swapaxes(y, 1, 2), cache
     if cfg.positionwise != "conv1d-linear":
         return linear(bp["ffn2"], jax.nn.relu(linear(bp["ffn1"], x))), cache
-    from .layers import conv1d
 
     k = cfg.positionwise_conv_kernel
     d = x.shape[-1]

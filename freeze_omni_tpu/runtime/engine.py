@@ -185,6 +185,38 @@ class ServingEngine:
         return out
 
 
+class TTSPool:
+    """API-parity facade for bin/pool.py's TTSObjectPool (acquire first-free
+    with in_use flag, bin/pool.py:22-53), backed by shared TTS params — the
+    pooled object holds only the per-stream RNG/decode state, not a model
+    copy."""
+
+    class _Handle:
+        def __init__(self, tts):
+            self.in_use = False
+            self.tts_proc = tts
+
+    def __init__(self, size: int, params: dict, cfg, seed: int = 0):
+        from ..tts import StreamingTTS
+
+        self.pool = [self._Handle(StreamingTTS(params, cfg, seed=seed + i))
+                     for i in range(size)]
+
+    def acquire(self):
+        for obj in self.pool:
+            if not obj.in_use:
+                obj.in_use = True
+                return obj
+        raise RuntimeError("No available objects in the pool")
+
+    def release(self, obj) -> None:
+        obj.in_use = False
+
+    def print_info(self) -> None:
+        for i, o in enumerate(self.pool):
+            print(f"TTS Object {i} is in use: {o.in_use}")
+
+
 class PipelinePool:
     """API-parity facade for bin/pool.py's pipelineObjectPool (acquire by least
     user-count, release decrements), backed by ONE ServingEngine — pool

@@ -107,6 +107,10 @@ def convert_encoder(sd: dict, cfg: EncoderConfig, prefix: str) -> dict:
             blk["ffn_dw"] = _conv1d(sd, f"{b}.feed_forward.w_1.0")
             blk["ffn_pw"] = _conv1d(sd, f"{b}.feed_forward.w_1.1")
             blk["ffn2"] = _linear(sd, f"{b}.feed_forward.w_2")
+        elif _t(sd[f"{b}.feed_forward.w_1.weight"]).ndim == 3:
+            # MultiLayeredConv1d positionwise (attention.py:145-196)
+            blk["ffn_c1"] = _conv1d(sd, f"{b}.feed_forward.w_1")
+            blk["ffn_c2"] = _conv1d(sd, f"{b}.feed_forward.w_2")
         else:
             blk["ffn1"] = _linear(sd, f"{b}.feed_forward.w_1")
             blk["ffn2"] = _linear(sd, f"{b}.feed_forward.w_2")
