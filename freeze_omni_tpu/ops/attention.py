@@ -114,3 +114,129 @@ def gqa_decode(q, k_cache, v_cache, length, use_pallas: Optional[bool] = None):
     if use_pallas:
         return decode_attention(q, k_cache, v_cache, length)
     return decode_attention_reference(q, k_cache, v_cache, length)
+
+
+# ---------------------------------------------------------------------------
+# block-skipping variant for long contexts: the cache stays in HBM and the
+# kernel DMAs only ceil(length/BLOCK) blocks into VMEM (double-buffered),
+# with an online-softmax (flash) accumulation — XLA's einsum path must read
+# the full S for every sequence regardless of its true length.
+#
+# Status: numerically verified in interpret mode (tests/test_ops.py) and
+# compiles+runs on the v5e chip, but benchmarking it there repeatedly wedged
+# the axon tunnel (device hangs on the next materialization after the kernel
+# runs — same intermittent hang also seen without pallas). Until the backend
+# stabilizes this stays un-wired; decode dispatch uses `decode_attention` /
+# the XLA reference.
+# ---------------------------------------------------------------------------
+
+
+def _blocked_kernel(length_ref, q_ref, k_hbm, v_hbm, o_ref,
+                    k_scr, v_scr, sems, *, scale: float, block: int,
+                    num_kv_heads: int):
+    b = pl.program_id(0)
+    L = length_ref[b]
+    S = k_hbm.shape[1]
+    H = q_ref.shape[1]
+    rep = H // num_kv_heads
+    nblocks = jax.lax.div(L + block - 1, block)
+
+    def dma(slot, blk):
+        return pltpu.make_async_copy(
+            k_hbm.at[b, pl.ds(blk * block, block)], k_scr.at[slot],
+            sems.at[0, slot]), pltpu.make_async_copy(
+            v_hbm.at[b, pl.ds(blk * block, block)], v_scr.at[slot],
+            sems.at[1, slot])
+
+    @pl.when(nblocks > 0)
+    def _():
+        dk_, dv_ = dma(0, 0)
+        dk_.start()
+        dv_.start()
+
+    def body(blk, carry):
+        # carry: per-kv-head (m, l, acc) online-softmax state
+        slot = jax.lax.rem(blk, 2)
+        nxt = jax.lax.rem(blk + 1, 2)
+
+        @pl.when(blk + 1 < nblocks)
+        def _():
+            dk_, dv_ = dma(nxt, blk + 1)
+            dk_.start()
+            dv_.start()
+
+        dk_, dv_ = dma(slot, blk)
+        dk_.wait()
+        dv_.wait()
+
+        slot_idx = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1) \
+            + blk * block
+        mask = slot_idx < L
+        new_heads = []
+        for h in range(num_kv_heads):
+            hm, hl, ha = carry[h]
+            q = q_ref[0, h * rep:(h + 1) * rep, :].astype(jnp.float32)
+            k = k_scr[slot, :, h, :].astype(jnp.float32)   # [block, dk]
+            v = v_scr[slot, :, h, :].astype(jnp.float32)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            s = jnp.where(mask, s, NEG_INF)                # [rep, block]
+            bm = jnp.max(s, axis=-1, keepdims=True)
+            m2 = jnp.maximum(hm, bm)
+            corr = jnp.exp(hm - m2)
+            p = jnp.exp(s - m2)
+            l2 = hl * corr + jnp.sum(p, axis=-1, keepdims=True)
+            a2 = ha * corr + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            new_heads.append((m2, l2, a2))
+        return tuple(new_heads)
+
+    dk_dim = q_ref.shape[2]
+    init = tuple((jnp.full((rep, 1), NEG_INF, jnp.float32),
+                  jnp.zeros((rep, 1), jnp.float32),
+                  jnp.zeros((rep, dk_dim), jnp.float32))
+                 for _ in range(num_kv_heads))
+    heads = jax.lax.fori_loop(0, nblocks, body, init)
+    out = jnp.concatenate(
+        [a / jnp.maximum(l, 1e-30) for (m, l, a) in heads], axis=0)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def decode_attention_blocked(q, k_cache, v_cache, length, block: int = 256,
+                             interpret: bool = False):
+    """Length-adaptive decode attention: HBM traffic scales with the true
+    sequence length, not the cache capacity. Same contract as
+    decode_attention."""
+    B, H, dk = q.shape
+    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    assert S % block == 0, (S, block)
+    scale = 1.0 / math.sqrt(dk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, dk), lambda b, L: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # full cache stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, H, dk), lambda b, L: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, block, Hkv, dk), k_cache.dtype),
+            pltpu.VMEM((2, block, Hkv, dk), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_blocked_kernel, scale=scale, block=block,
+                          num_kv_heads=Hkv),
+        out_shape=jax.ShapeDtypeStruct((B, H, dk), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(length.astype(jnp.int32), q, k_cache, v_cache)
+    return out

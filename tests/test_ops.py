@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from freeze_omni_tpu.ops.attention import (decode_attention,
+                                           decode_attention_blocked,
                                            decode_attention_reference,
                                            gqa_decode)
 from freeze_omni_tpu.ops.sampling import (apply_repetition_penalty,
@@ -41,6 +42,21 @@ class TestDecodeAttention:
         out2 = decode_attention(q, k2, v2, jnp.asarray([L]), interpret=True)
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                    rtol=1e-6, atol=1e-6)
+
+    def test_blocked_flash_variant_matches_reference(self):
+        """Double-buffered HBM-DMA flash-decode over only ceil(len/block)
+        blocks must match the full-read reference at ragged lengths."""
+        rng = np.random.RandomState(3)
+        B, H, Hkv, dk, S = 3, 8, 2, 128, 1024
+        q = jnp.asarray(rng.randn(B, H, dk), jnp.float32)
+        k = jnp.asarray(rng.randn(B, S, Hkv, dk), jnp.float32)
+        v = jnp.asarray(rng.randn(B, S, Hkv, dk), jnp.float32)
+        length = jnp.asarray([5, 300, 1024], jnp.int32)
+        ref = decode_attention_reference(q, k, v, length)
+        out = decode_attention_blocked(q, k, v, length, block=256,
+                                       interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
 
     def test_dispatch_fallback(self):
         rng = np.random.RandomState(2)
