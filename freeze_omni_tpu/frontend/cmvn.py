@@ -7,7 +7,6 @@ mean and inverse-stddev from accumulated stats; apply is (x - mean) * istd).
 from __future__ import annotations
 
 import json
-import math
 from typing import Tuple
 
 import jax.numpy as jnp

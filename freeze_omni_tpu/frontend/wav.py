@@ -10,7 +10,6 @@ sinc_interp_hann default: lowpass_filter_width=6, hann window).
 from __future__ import annotations
 
 import math
-import struct
 import wave
 from typing import Tuple
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EncoderConfig
-from .layers import (NEG_INF, conv2d, conv2d_init, layer_norm, layer_norm_init,
+from .layers import (conv2d, conv2d_init, layer_norm, layer_norm_init,
                      linear, linear_init, masked_softmax, sinusoidal_pe)
 
 

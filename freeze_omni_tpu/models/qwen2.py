@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import LLMConfig
-from .layers import (NEG_INF, apply_rotary, embedding, linear, linear_init,
-                     rms_norm, rms_norm_init, rotary_embed)
+from .layers import (NEG_INF, embedding, linear, linear_init, rms_norm,
+                     rms_norm_init, rotary_embed)
 
 
 class KVCache(NamedTuple):

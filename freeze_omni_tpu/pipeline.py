@@ -19,14 +19,13 @@ bin/pool.py — externalized caches).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import SamplingConfig, SystemConfig
+from .config import SystemConfig
 from .models import adapter as adapter_mod
 from .models import audio_llm
 from .models import encoder as encoder_mod
