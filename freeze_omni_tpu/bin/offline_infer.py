@@ -124,7 +124,6 @@ def run_inference(cfg: SystemConfig, args, pipeline=None, tts_params=None):
         cur_hidden = [outputs["hidden_state"]]
         cur_tokens = list(outputs["past_tokens"])
         whole_tokens = list(outputs["past_tokens"])
-        cur_start = 0  # token offset of the current sentence
 
         def flush():
             nonlocal cur_hidden, cur_tokens

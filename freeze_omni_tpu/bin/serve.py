@@ -91,7 +91,6 @@ class Server:
             threading.Thread(target=ticker, daemon=True).start()
         else:
             self.pipeline = DuplexPipeline(self.cfg, seed=args.seed)
-        self.sessions = {}
         self.responder = None
         if args.respond:
             import jax
@@ -106,7 +105,9 @@ class Server:
                 {"decoder": sd.init_params(k1, self.cfg.tts.decoder),
                  "codec": codec_mod.init_params(k2, self.cfg.tts.codec)},
                 self.cfg.tts, seed=args.seed)
-            self.responder = DuplexResponder(self.pipeline.core, tts, self.cfg)
+            core = (self.service.engine.core if self.service is not None
+                    else self.pipeline.core)
+            self.responder = DuplexResponder(core, tts, self.cfg)
 
     async def handler(self, ws):
         from ..duplex.engine import DuplexSession
@@ -187,7 +188,6 @@ class Server:
 
     def _start_http(self):
         """Monitoring GUI (ENHANCED_DEMO.md role) over plain HTTP."""
-        import functools
         import http.server
         import os
         import threading

@@ -141,8 +141,20 @@ class InferencePipeline:
                 core.params, self.acfg, "user", jnp.asarray(audio), is_sl,
                 core.user_prefix_embeds, caches)
             out = dict(outputs)
-            out.update(stat="dialog_cl", caches=caches,
-                       state_probs=np.asarray(probs)[0], is_first_chunk=False)
+            probs = np.asarray(probs)[0]
+            new_stat = "dialog_cl"
+            # upstream server semantics: the state head can auto-trigger the
+            # response ('dialog_ss') or end-without-response ('dialog_el');
+            # bin/inference.py instead forces transitions manually, so this is
+            # opt-in via outputs['auto_transition']
+            if outputs.get("auto_transition"):
+                thr = self.cfg.duplex.resp_threshold
+                if probs[1] > thr:
+                    new_stat = "dialog_ss"
+                elif probs[2] > thr:
+                    new_stat = "dialog_el"
+            out.update(stat=new_stat, caches=caches,
+                       state_probs=probs, is_first_chunk=False)
             return out
 
         if stat == "dialog_ss":
