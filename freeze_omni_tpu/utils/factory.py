@@ -95,6 +95,16 @@ def load_codec(model_path: str, cfg: Optional[CodecConfig] = None
     with open(os.path.join(model_path, "codec", "model.json")) as f:
         h = json.load(f)
     if cfg is None:
+        # map the reference's key spellings onto the typed config
+        if "residul_layer" in h:  # sic (models.py:548)
+            h = {**h, "residual_layers": h["residul_layer"]}
+        for k in ("upsample_rates", "upsample_kernel_sizes",
+                  "resblock_kernel_sizes"):
+            if k in h:
+                h[k] = tuple(h[k])
+        if "resblock_dilation_sizes" in h:
+            h["resblock_dilation_sizes"] = tuple(
+                tuple(d) for d in h["resblock_dilation_sizes"])
         cfg = assign_from_dict(CodecConfig(), h)
         if "global_tokens" in h:
             cfg = assign_from_dict(cfg, {"global_tokens": tuple(h["global_tokens"])})

@@ -105,6 +105,72 @@ class TestFactorySpeechDecoder:
         assert pre.shape == (1, 4, 64)
 
 
+class TestFactoryCodec:
+    def test_codec_ckpt_roundtrip(self, tmp_path):
+        """Synthesize a reference-named codec checkpoint from our init params
+        and load it back through the factory: decode outputs must match."""
+        import jax.numpy as jnp
+
+        from freeze_omni_tpu.config import CodecConfig
+        from freeze_omni_tpu.models import codec as codec_mod
+
+        cfg = CodecConfig(
+            upsample_rates=(8, 5, 5, 3), upsample_kernel_sizes=(16, 10, 10, 6),
+            upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3, 5),), n_codes=16, global_code_num=2,
+            global_feature_dim=8, global_feature_conv=(128, 8, 8, 3, 1),
+            global_tokens=(0, 0))
+        params = codec_mod.init_params(jax.random.PRNGKey(0), cfg)
+
+        gen_sd, quant_sd = {}, {}
+        g = params["generator"]
+        gen_sd["conv_pre.weight"] = torch.tensor(np.asarray(g["conv_pre"]["w"]))
+        gen_sd["conv_pre.bias"] = torch.tensor(np.asarray(g["conv_pre"]["b"]))
+        gen_sd["conv_post.weight"] = torch.tensor(np.asarray(g["conv_post"]["w"]))
+        gen_sd["conv_post.bias"] = torch.tensor(np.asarray(g["conv_post"]["b"]))
+        for i, up in enumerate(g["ups"]):
+            gen_sd[f"ups.{i}.weight"] = torch.tensor(np.asarray(up["w"]))
+            gen_sd[f"ups.{i}.bias"] = torch.tensor(np.asarray(up["b"]))
+        for i, rb in enumerate(g["resblocks"]):
+            for j, c in enumerate(rb["convs1"]):
+                gen_sd[f"resblocks.{i}.convs1.{j}.weight"] = torch.tensor(np.asarray(c["w"]))
+                gen_sd[f"resblocks.{i}.convs1.{j}.bias"] = torch.tensor(np.asarray(c["b"]))
+            for j, c in enumerate(rb["convs2"]):
+                gen_sd[f"resblocks.{i}.convs2.{j}.weight"] = torch.tensor(np.asarray(c["w"]))
+                gen_sd[f"resblocks.{i}.convs2.{j}.bias"] = torch.tensor(np.asarray(c["b"]))
+        q = params["quantizer"]
+        for gi in range(cfg.n_code_groups):
+            quant_sd[f"quantizer_modules.{gi}.embedding.weight"] = \
+                torch.tensor(np.asarray(q["codebooks"][0][gi]))
+        for gi in range(cfg.global_code_num):
+            quant_sd[f"quantizer_modules_globaltokens.{gi}.embedding.weight"] = \
+                torch.tensor(np.asarray(q["gst"][gi]))
+
+        os.makedirs(tmp_path / "codec")
+        torch.save({"generator": gen_sd, "quantizer": quant_sd},
+                   tmp_path / "codec" / "final.pt")
+        (tmp_path / "codec" / "model.json").write_text(json.dumps({
+            "upsample_rates": [8, 5, 5, 3],
+            "upsample_kernel_sizes": [16, 10, 10, 6],
+            "upsample_initial_channel": 32,
+            "resblock_kernel_sizes": [3],
+            "resblock_dilation_sizes": [[1, 3, 5]],
+            "n_codes": 16, "n_code_groups": 1, "residul_layer": 1,
+            "global_code_num": 2, "global_tokens": [0, 0]}))
+
+        loaded_cfg, loaded = factory.load_codec(str(tmp_path))
+        assert loaded_cfg.n_codes == 16 and loaded_cfg.upsample_rate == 600
+
+        codes = jnp.zeros((1, 3, 1), jnp.int32)
+        gst = jnp.zeros((1, 1, 2), jnp.int32)
+        ref = codec_mod.decode(params, cfg, codes, gst)
+        got = codec_mod.decode(jax.tree.map(jnp.asarray, loaded,
+                                            is_leaf=lambda x: isinstance(x, np.ndarray)),
+                               loaded_cfg, codes, gst)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestConvFFNEncoder:
     def test_conv1d_linear_streaming_matches_full(self):
         cfg = EncoderConfig(
