@@ -1,0 +1,75 @@
+"""Single-dispatch first-response fast path.
+
+Measured on the tunneled v5e: per-dispatch round-trip latency (~55 ms)
+dominates speech-to-first-audio — device compute for the whole TTS stage is
+~1.4 ms. This fuses the ENTIRE first response into one jitted program:
+
+  assistant-prefix prefill -> first text segment (scan) -> re-embed the text
+  tokens -> speech-decoder pre-NN + prefix-KV + prefill -> codec-token decode
+  scan -> vocoder -> first PCM
+
+so first audio costs exactly one dispatch + one host sync. The reference's
+host-side text post-processing (pipeline.post_process) is string-level and
+cannot run on-device; the fast path feeds raw generated tokens to the speech
+decoder for the FIRST sentence and later sentences go through the standard
+host path — acceptable because post_process only normalizes punctuation
+(models/pipeline.py:90-130).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (AudioLLMConfig, CodecConfig, SamplingConfig,
+                      SpeechDecoderConfig)
+from ..models import audio_llm, codec as codec_mod, qwen2
+from ..models import speech_decoder as sd
+
+
+@partial(jax.jit, static_argnames=("acfg", "dcfg", "ccfg", "sampling",
+                                   "n_text", "n_codec", "top_k", "eod_id"))
+def first_response(params, tts_params, acfg: AudioLLMConfig,
+                   dcfg: SpeechDecoderConfig, ccfg: CodecConfig,
+                   assistant_ids, kv, rng, sampling: SamplingConfig,
+                   n_text: int, n_codec: int, top_k: int, eod_id: int,
+                   global_tokens):
+    """Returns (pcm [1, 1, samples], text_tokens [1, n_text+1], text_done [1],
+    codec_tokens [1, n_codec], kv). One device dispatch end-to-end."""
+    k1, k2 = jax.random.split(rng)
+
+    # 1) text: prefill assistant prefix + first segment, all on-device
+    toks, hiddens, done, kv = audio_llm.prefill_and_generate(
+        params, acfg, assistant_ids, kv, k1, sampling,
+        n_steps=n_text, eod_id=eod_id)
+
+    # 2) re-embed the generated tokens; fold 3584-dim frames to decoder idim
+    #    (bin/inference.py:86-90 reshape semantics)
+    emb = qwen2.embed_tokens(params["llm"], toks)          # [1, n, D]
+    emb = emb.astype(jnp.float32).reshape(1, -1, dcfg.idim)
+    prefix = hiddens.astype(jnp.float32).reshape(1, -1, dcfg.idim)
+
+    # 3) speech decoder preamble (pre-NN + prefix-KV + [bos, hidden] prefill)
+    pre = sd.pre_nn(tts_params["decoder"], dcfg, emb)
+    bos = sd.embedding(tts_params["decoder"]["embedding"],
+                       jnp.full((1, 1), dcfg.bos_id))
+    block = jnp.concatenate([bos, pre], axis=1)
+    cache = sd.init_cache(dcfg, 1)
+    if dcfg.use_prefix_kv:
+        cache = sd.prefix_prefill(tts_params["decoder"], dcfg, prefix,
+                                  jnp.ones(prefix.shape[:2], bool), cache)
+    _, cache = sd.prefill(tts_params["decoder"], dcfg, block,
+                          jnp.ones(block.shape[:2], bool), cache)
+
+    # 4) codec-token scan + vocoder
+    state = sd.init_decode_state(dcfg, cache, 1)
+    codec_toks, state = sd.decode_segment(
+        tts_params["decoder"], dcfg, state, k2, n_steps=n_codec, top_k=top_k,
+        penalty_window=-1, penalty=1.0)
+    codes = jnp.clip(codec_toks, 0, dcfg.codec_vocab - 1)[:, :, None]
+    pcm = codec_mod.decode(tts_params["codec"], ccfg, codes, global_tokens)
+
+    return pcm, toks, done, codec_toks, kv
