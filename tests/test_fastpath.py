@@ -1,0 +1,43 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from freeze_omni_tpu.config import tiny_system
+from freeze_omni_tpu.models import audio_llm, codec as codec_mod, qwen2
+from freeze_omni_tpu.models import speech_decoder as sd
+from freeze_omni_tpu.runtime import fastpath
+
+
+class TestFastPath:
+    def test_single_dispatch_first_response(self):
+        sys_cfg = tiny_system()
+        acfg = sys_cfg.audio_llm
+        params = audio_llm.init_params(jax.random.PRNGKey(0), acfg)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        tts_params = {"decoder": sd.init_params(k1, sys_cfg.tts.decoder),
+                      "codec": codec_mod.init_params(k2, sys_cfg.tts.codec)}
+
+        kv = qwen2.init_cache(acfg.llm, 1, dtype=jnp.float32)
+        kv = audio_llm.prefill_tokens(params, acfg, jnp.arange(8)[None], kv)
+        base = int(kv.length[0])
+        gt = jnp.asarray(np.array(sys_cfg.tts.codec.global_tokens,
+                                  np.int32)[None, None])
+
+        n_codec = sys_cfg.tts.codec_chunk_size + sys_cfg.tts.codec_padding_size
+        pcm, toks, done, ctoks, kv2 = fastpath.first_response(
+            params, tts_params, acfg, sys_cfg.tts.decoder, sys_cfg.tts.codec,
+            jnp.asarray([[1, 2, 3]]), kv, jax.random.PRNGKey(0),
+            sys_cfg.sampling, n_text=7, n_codec=n_codec, top_k=2, eod_id=-1,
+            global_tokens=gt)
+
+        assert toks.shape == (1, 8)  # 1 prefix sample + 7 segment tokens
+        assert ctoks.shape == (1, n_codec)
+        assert pcm.ndim == 3 and pcm.shape[:2] == (1, 1)
+        assert pcm.shape[2] >= 600 * (n_codec - 2)
+        assert np.isfinite(np.asarray(pcm)).all()
+        assert float(jnp.max(jnp.abs(pcm))) <= 1.0
+        # KV advanced by assistant prefix + written tokens (the final sampled
+        # token is only written when generation continues)
+        assert int(kv2.length[0]) == base + 3 + 7
