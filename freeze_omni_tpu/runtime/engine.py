@@ -184,6 +184,33 @@ class ServingEngine:
         self.store.scatter_kv(slot, kv)
         return out
 
+    def respond_fast(self, sid: str, tts_params: dict, n_text: int = 8,
+                     rng=None):
+        """Latency-critical first response: ONE device dispatch from the
+        session's context to the first PCM chunk (runtime/fastpath.py — each
+        host sync costs ~55ms through the tunnel while TTS compute is ~1.4ms).
+        Returns (pcm24k [1,1,n], text_token_ids list, sentence-unaligned)."""
+        import numpy as np
+
+        from . import fastpath
+
+        core = self.core
+        cfg = self.cfg
+        slot = self.store.slot_of(sid)
+        kv = self.store.gather_kv(slot)
+        gt = jnp.asarray(np.array(cfg.tts.codec.global_tokens,
+                                  np.int32)[None, None])
+        ids = jnp.asarray(core.chat.system_prefix_ids)[None]
+        n_codec = cfg.tts.codec_chunk_size + cfg.tts.codec_padding_size
+        pcm, toks, done, ctoks, kv = fastpath.first_response(
+            core.params, tts_params, cfg.audio_llm, cfg.tts.decoder,
+            cfg.tts.codec, ids, kv,
+            rng if rng is not None else core.next_key(), cfg.sampling,
+            n_text=n_text, n_codec=n_codec, top_k=cfg.tts.top_k,
+            eod_id=core.tokenizer.eod_id, global_tokens=gt)
+        self.store.scatter_kv(slot, kv)
+        return np.asarray(pcm), [int(t) for t in np.asarray(toks)[0]]
+
 
 class TTSPool:
     """API-parity facade for bin/pool.py's TTSObjectPool (acquire first-free

@@ -41,3 +41,27 @@ class TestFastPath:
         # KV advanced by assistant prefix + written tokens (the final sampled
         # token is only written when generation continues)
         assert int(kv2.length[0]) == base + 3 + 7
+
+    def test_engine_respond_fast(self):
+        from freeze_omni_tpu.models import codec as codec_mod
+        from freeze_omni_tpu.models import speech_decoder as sd
+        from freeze_omni_tpu.runtime.engine import ServingEngine
+
+        sys_cfg = tiny_system()
+        engine = ServingEngine(sys_cfg, seed=0)
+        engine.open_session("s1")
+        engine.submit_chunk(
+            "s1", "user",
+            np.random.RandomState(0).randn(1, 32, 80).astype(np.float32),
+            is_sl=True)
+        engine.tick()
+        slot = engine.store.slot_of("s1")
+        before = engine.store.kv_length(slot)
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+        tts_params = {"decoder": sd.init_params(k1, sys_cfg.tts.decoder),
+                      "codec": codec_mod.init_params(k2, sys_cfg.tts.codec)}
+        pcm, toks = engine.respond_fast("s1", tts_params, n_text=6)
+        assert pcm.ndim == 3 and pcm.shape[2] > 0
+        assert len(toks) == 7
+        assert engine.store.kv_length(slot) > before
