@@ -53,12 +53,16 @@ class _SessionFrontend:
 
 class DuplexService:
     def __init__(self, cfg: SystemConfig, engine: Optional[ServingEngine] = None,
-                 seed: int = 0, **engine_kw):
+                 seed: int = 0, tts_params: Optional[dict] = None, **engine_kw):
+        """tts_params: when given, a dialog_ss decision triggers the
+        single-dispatch fast response (engine.respond_fast) — the synthesized
+        speech is emitted as response_audio and fed back as system input."""
         self.cfg = cfg
         self.engine = engine or ServingEngine(cfg, seed=seed, **engine_kw)
         self.sessions: Dict[str, _SessionFrontend] = {}
         self._lock = threading.Lock()
         self.resp_threshold = cfg.duplex.resp_threshold
+        self.tts_params = tts_params
 
     # ------------------------------------------------------------------
 
@@ -186,6 +190,8 @@ class DuplexService:
             fe.sink.emit("dialog_ss_callback", {
                 "ipu_id": feat.get("ipu_id"), "state_1": pred["state_1"],
                 "time_stamp": ts})
+            if self.tts_params is not None:
+                self._respond_fast(fe)
         elif pred["state_2"] > self.resp_threshold:
             decision = "dialog_el"
         fe.sink.emit("dialog_state_update", {
@@ -194,3 +200,20 @@ class DuplexService:
         if handle is not None:
             handle.register_response_state(
                 {"time_stamp": ts, "decision": decision, **pred})
+
+    def _respond_fast(self, fe: _SessionFrontend) -> None:
+        try:
+            pcm24, toks = self.engine.respond_fast(fe.sid, self.tts_params)
+            fe.sink.emit("response_text",
+                         {"text": self.engine.core.tokenizer.decode(
+                             [t for t in toks
+                              if t != self.engine.core.tokenizer.eod_id])})
+            fe.sink.emit("response_audio",
+                         {"pcm": pcm24[0, 0],
+                          "sr": self.cfg.tts.codec.sample_rate})
+            from ..frontend.wav import resample
+
+            pcm16 = resample(pcm24[0, 0], self.cfg.tts.codec.sample_rate, 16000)
+            self.enqueue_audio_data(fe.sid, "system", {"audio": pcm16})
+        except Exception as e:
+            fe.sink.emit("error", {"where": "respond_fast", "message": str(e)})

@@ -44,6 +44,42 @@ class TestDuplexService:
         svc.close_session("a")
         assert svc.engine.num_active == 1
 
+    def test_service_fast_response_closes_loop(self):
+        """With tts_params attached and threshold 0, a user chunk triggers the
+        one-dispatch fast response whose audio re-enters as system input."""
+        import dataclasses
+
+        import jax
+
+        from freeze_omni_tpu.models import codec as codec_mod
+        from freeze_omni_tpu.models import speech_decoder as sd
+
+        cfg = tiny_system()
+        cfg = dataclasses.replace(
+            cfg, duplex=dataclasses.replace(cfg.duplex, resp_threshold=0.0))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        tts_params = {"decoder": sd.init_params(k1, cfg.tts.decoder),
+                      "codec": codec_mod.init_params(k2, cfg.tts.codec)}
+        svc = DuplexService(cfg, seed=0, tts_params=tts_params)
+        sink = svc.open_session("s1")
+
+        n = cfg.duplex.gating.samples_per_chunk
+        svc.enqueue_audio_data("s1", "user", {"audio": np.zeros(n, np.float32)})
+        svc.step()
+        svc.enqueue_audio_data("s1", "user", {"audio": _speech(2 * n)})
+        for _ in range(10):
+            if not svc.step():
+                break
+
+        texts = sink.events_of("response_text")
+        audio = sink.events_of("response_audio")
+        assert texts and audio
+        assert audio[0]["sr"] == cfg.tts.codec.sample_rate
+        assert audio[0]["pcm"].size > 0
+        sys_vad = [e for e in sink.events_of("vad_event")
+                   if e["identity"] == "system"]
+        assert sys_vad, "synthesized speech never re-entered as system audio"
+
     def test_batched_service_matches_single_session_engine(self):
         """A session served through DuplexService must produce the same state
         probabilities as the same audio through a solo-session service (the
