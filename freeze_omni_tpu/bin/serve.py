@@ -79,7 +79,18 @@ class Server:
             cfg = _dc.replace(self.cfg, serving=_dc.replace(
                 self.cfg.serving, max_sessions=args.max_sessions))
             self.cfg = cfg
-            self.service = DuplexService(cfg, seed=args.seed)
+            svc_tts = None
+            if args.respond:
+                import jax
+
+                from ..models import codec as codec_mod
+                from ..models import speech_decoder as sd
+
+                k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed + 7))
+                svc_tts = {"decoder": sd.init_params(k1, cfg.tts.decoder),
+                           "codec": codec_mod.init_params(k2, cfg.tts.codec)}
+            self.service = DuplexService(cfg, seed=args.seed,
+                                         tts_params=svc_tts)
             self.pipeline = None
             self._svc_stop = threading.Event()
 
@@ -92,7 +103,7 @@ class Server:
         else:
             self.pipeline = DuplexPipeline(self.cfg, seed=args.seed)
         self.responder = None
-        if args.respond:
+        if args.respond and self.service is None:
             import jax
 
             from ..duplex.responder import DuplexResponder
