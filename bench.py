@@ -164,8 +164,6 @@ def main():
     prefill_generate = jax.jit(
         audio_llm.prefill_and_generate,
         static_argnames=("cfg", "sampling", "n_steps", "eod_id"))
-    recognize = jax.jit(audio_llm.recognize_step,
-                        static_argnames=("cfg", "identity"))
 
     # fixture: a duplex session mid-conversation
     kv = qwen2.init_cache(acfg.llm, 1, dtype=llm_dtype)
@@ -173,9 +171,6 @@ def main():
     kv = jax.jit(audio_llm.prefill_tokens, static_argnames=("cfg",))(
         params, acfg, role_ids, kv)
     caches = audio_llm.init_session(acfg, 1, kv_dtype=llm_dtype)._replace(kv=kv)
-    chunk = jnp.asarray(np.random.RandomState(0).randn(1, 32, 80), jnp.float32)
-    prefix_embeds = qwen2.embed_tokens(
-        params["llm"], jnp.asarray([151645 % acfg.llm.vocab_size] * 6))
     assistant_ids = (jnp.arange(6)[None] + 3) % acfg.llm.vocab_size
 
     dec_idim = cfg.tts.decoder.idim
@@ -218,15 +213,11 @@ def main():
         marks["first_pcm_ms"] = (time.perf_counter() - t_start) * 1e3
         return marks
 
-    # warmup (compile all graphs)
+    # warmup (compile all graphs used by the timed paths)
     log("warmup/compile...")
     t0 = time.time()
     one_trial(caches, jax.random.PRNGKey(100), timed=False)
     fast_trial(caches, jax.random.PRNGKey(101))
-    # also warm the duplex prefill step (serving hot path)
-    probs, _ = recognize(params, acfg, "user", chunk, jnp.array([True]),
-                         prefix_embeds, caches)
-    jax.block_until_ready(probs)
     log(f"warmup done in {time.time()-t0:.1f}s")
 
     lat = []
