@@ -61,13 +61,25 @@ def load_audiollm(model_path: str, cfg: Optional[AudioLLMConfig] = None
     return cfg, params
 
 
-def load_llm(llm_path: str, cfg: AudioLLMConfig) -> dict:
-    """HF Qwen2 weights (audioLLM.py:70-74) -> backbone pytree."""
+def load_llm(llm_path: str, cfg: AudioLLMConfig):
+    """HF Qwen2 weights (audioLLM.py:70-74) -> (LLMConfig from the HF config,
+    backbone pytree). The HF config is authoritative for the backbone shape."""
+    import dataclasses
+
     from transformers import AutoModelForCausalLM
 
     hf = AutoModelForCausalLM.from_pretrained(llm_path, trust_remote_code=True,
-                                              torch_dtype="auto")
-    return ckpt.convert_hf_qwen2(hf.state_dict(), cfg.llm)
+                                              dtype="auto")
+    h = hf.config
+    llm_cfg = dataclasses.replace(
+        cfg.llm,
+        hidden=h.hidden_size, num_layers=h.num_hidden_layers,
+        num_heads=h.num_attention_heads, num_kv_heads=h.num_key_value_heads,
+        ffn=h.intermediate_size, vocab_size=h.vocab_size,
+        rope_theta=getattr(h, "rope_theta", cfg.llm.rope_theta),
+        rms_eps=getattr(h, "rms_norm_eps", cfg.llm.rms_eps),
+        tie_embeddings=bool(getattr(h, "tie_word_embeddings", False)))
+    return llm_cfg, ckpt.convert_hf_qwen2(hf.state_dict(), llm_cfg)
 
 
 def load_speech_decoder(model_path: str,
@@ -121,7 +133,8 @@ def build_system_from_reference(model_path: str, llm_path: str
     import dataclasses
 
     acfg, audiollm = load_audiollm(model_path)
-    audiollm["llm"] = load_llm(llm_path, acfg)
+    llm_cfg, audiollm["llm"] = load_llm(llm_path, acfg)
+    acfg = dataclasses.replace(acfg, llm=llm_cfg)
     dcfg, dec = load_speech_decoder(model_path)
     ccfg, codec = load_codec(model_path)
 
