@@ -51,6 +51,9 @@ def transcribe(pipeline, chunker, wav: np.ndarray, max_tokens: int) -> str:
 def main(argv=None):
     p = argparse.ArgumentParser(description="CER/WER evaluation harness")
     p.add_argument("--preset", default="flagship", choices=["tiny", "flagship"])
+    p.add_argument("--model_path", default=None,
+                   help="reference checkpoint dir (enables real-weight eval)")
+    p.add_argument("--llm_path", default=None)
     p.add_argument("--manifest", required=True,
                    help="tsv: wav_path<TAB>transcript per line")
     p.add_argument("--char_level", action="store_true",
@@ -66,8 +69,16 @@ def main(argv=None):
     from ..pipeline import InferencePipeline
     from ..utils.metrics import corpus_score
 
-    cfg = tiny_system() if args.preset == "tiny" else flagship_system()
-    pipeline = InferencePipeline(cfg, seed=args.seed)
+    if args.model_path:
+        from ..utils.factory import build_system_from_reference
+
+        cfg, audiollm_params, _ = build_system_from_reference(
+            args.model_path, args.llm_path)
+        pipeline = InferencePipeline(cfg, params=audiollm_params,
+                                     seed=args.seed)
+    else:
+        cfg = tiny_system() if args.preset == "tiny" else flagship_system()
+        pipeline = InferencePipeline(cfg, seed=args.seed)
     chunker = OfflineChunker(cfg.chunker)
 
     pairs = []

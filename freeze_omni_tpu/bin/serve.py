@@ -35,6 +35,9 @@ import numpy as np
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="freeze-omni-tpu duplex server")
     p.add_argument("--preset", default="flagship", choices=["tiny", "flagship"])
+    p.add_argument("--model_path", default=None,
+                   help="reference checkpoint dir (loads converted weights)")
+    p.add_argument("--llm_path", default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--max_sessions", type=int, default=8)
@@ -62,7 +65,15 @@ class Server:
         from ..pipeline import DuplexPipeline
 
         self.args = args
-        self.cfg = tiny_system() if args.preset == "tiny" else flagship_system()
+        self._ckpt_params = None
+        if args.model_path:
+            from ..utils.factory import build_system_from_reference
+
+            self.cfg, self._ckpt_params, _ = build_system_from_reference(
+                args.model_path, args.llm_path)
+        else:
+            self.cfg = (tiny_system() if args.preset == "tiny"
+                        else flagship_system())
         if args.resp_threshold is not None:
             import dataclasses
 
@@ -90,7 +101,8 @@ class Server:
                 svc_tts = {"decoder": sd.init_params(k1, cfg.tts.decoder),
                            "codec": codec_mod.init_params(k2, cfg.tts.codec)}
             self.service = DuplexService(cfg, seed=args.seed,
-                                         tts_params=svc_tts)
+                                         tts_params=svc_tts,
+                                         params=self._ckpt_params)
             self.pipeline = None
             self._svc_stop = threading.Event()
 
@@ -101,7 +113,8 @@ class Server:
 
             threading.Thread(target=ticker, daemon=True).start()
         else:
-            self.pipeline = DuplexPipeline(self.cfg, seed=args.seed)
+            self.pipeline = DuplexPipeline(self.cfg, seed=args.seed,
+                                           params=self._ckpt_params)
         self.responder = None
         if args.respond and self.service is None:
             import jax
