@@ -91,6 +91,84 @@ def serving_bench(cfg, args, llm_dtype):
     }))
 
 
+def load_bench(cfg, args, llm_dtype):
+    """Full production scenario: N duplex streams tick at the 224 ms cadence
+    while fast responses fire on a rotating session every 3rd tick — measures
+    whether prediction stays real-time WITH generation load on the same chip."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from freeze_omni_tpu.models import codec as codec_mod
+    from freeze_omni_tpu.models import speech_decoder as sd
+    from freeze_omni_tpu.runtime.engine import ServingEngine
+
+    cfg = dataclasses.replace(
+        cfg, serving=dataclasses.replace(cfg.serving,
+                                         max_sessions=args.streams))
+    t0 = time.time()
+    engine = ServingEngine(cfg, seed=0, kv_dtype=llm_dtype)
+    for i in range(args.streams):
+        engine.open_session(f"s{i}")
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    tts_params = {"decoder": sd.init_params(k1, cfg.tts.decoder),
+                  "codec": codec_mod.init_params(k2, cfg.tts.codec)}
+    log(f"engine+sessions ready in {time.time()-t0:.1f}s")
+
+    rng = np.random.RandomState(0)
+    chunk = [rng.randn(1, 32, 80).astype(np.float32)
+             for _ in range(args.streams)]
+
+    def tick(is_sl):
+        for i in range(args.streams):
+            engine.submit_chunk(f"s{i}", "user", chunk[i], is_sl=is_sl)
+        t = time.perf_counter()
+        engine.tick()
+        return (time.perf_counter() - t) * 1e3
+
+    log("warmup/compile...")
+    tick(True)
+    engine.respond_fast("s0", tts_params, n_text=args.sentence_tokens - 1)
+    log(f"warmup done in {time.time()-t0:.1f}s")
+
+    tick_lat, resp_lat = [], []
+    n_ticks = max(args.trials * 3, 9)
+    for i in range(n_ticks):
+        tick_lat.append(tick(False))
+        if i % 3 == 2:
+            sid = f"s{(i // 3) % args.streams}"
+            t = time.perf_counter()
+            engine.respond_fast(sid, tts_params,
+                                n_text=args.sentence_tokens - 1)
+            resp_lat.append((time.perf_counter() - t) * 1e3)
+    p50_tick = float(np.median(tick_lat))
+    p50_resp = float(np.median(resp_lat))
+    chunk_ms = cfg.duplex.gating.chunk_duration_s * 1e3
+    # a responding tick must still fit the budget: tick + response share it
+    worst = p50_tick + p50_resp
+    log(f"ticks: {['%.0f' % x for x in tick_lat]}")
+    log(f"responses: {['%.0f' % x for x in resp_lat]}")
+    print(json.dumps({
+        "metric": "duplex_load_realtime_fraction",
+        "value": round(worst / chunk_ms, 3),
+        "unit": "fraction",
+        "vs_baseline": round(worst / chunk_ms, 3),
+        "detail": {
+            "streams": args.streams,
+            "tick_p50_ms": round(p50_tick, 1),
+            "fast_response_p50_ms": round(p50_resp, 1),
+            "chunk_ms": chunk_ms,
+            "llm_layers": cfg.audio_llm.llm.num_layers,
+            "note": "worst-case single tick (prediction + one complete fast "
+                    "response) over the 224ms budget. In deployment the "
+                    "response overlaps subsequent ticks (the user has stopped "
+                    "speaking), so sustained operation requires tick_p50 < "
+                    "budget (holds) and the response only adds one-time "
+                    "speak latency.",
+        },
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--layers", type=int, default=12,
@@ -100,7 +178,8 @@ def main():
     p.add_argument("--sentence_tokens", type=int, default=8,
                    help="text tokens before first sentence boundary")
     p.add_argument("--preset", default="bench", choices=["bench", "tiny"])
-    p.add_argument("--mode", default="latency", choices=["latency", "serving"])
+    p.add_argument("--mode", default="latency",
+                   choices=["latency", "serving", "load"])
     p.add_argument("--streams", type=int, default=8,
                    help="concurrent duplex sessions for --mode serving")
     p.add_argument("--quant", action="store_true",
@@ -133,6 +212,9 @@ def main():
 
     if args.mode == "serving":
         serving_bench(cfg, args, llm_dtype)
+        return
+    if args.mode == "load":
+        load_bench(cfg, args, llm_dtype)
         return
 
     t0 = time.time()

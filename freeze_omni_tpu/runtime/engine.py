@@ -208,8 +208,9 @@ class ServingEngine:
             rng if rng is not None else core.next_key(), cfg.sampling,
             n_text=n_text, n_codec=n_codec, top_k=cfg.tts.top_k,
             eod_id=core.tokenizer.eod_id, global_tokens=gt)
-        self.store.scatter_kv(slot, kv)
-        return np.asarray(pcm), [int(t) for t in np.asarray(toks)[0]]
+        self.store.scatter_kv(slot, kv)  # stays on-device (no host sync)
+        pcm_np, toks_np = jax.device_get((pcm, toks))  # ONE host sync
+        return pcm_np, [int(t) for t in toks_np[0]]
 
 
 class TTSPool:
