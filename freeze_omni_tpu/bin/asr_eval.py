@@ -72,10 +72,10 @@ def main(argv=None):
     if args.model_path:
         from ..utils.factory import build_system_from_reference
 
-        cfg, audiollm_params, _ = build_system_from_reference(
+        cfg, audiollm_params, _, tokenizer = build_system_from_reference(
             args.model_path, args.llm_path)
         pipeline = InferencePipeline(cfg, params=audiollm_params,
-                                     seed=args.seed)
+                                     tokenizer=tokenizer, seed=args.seed)
     else:
         cfg = tiny_system() if args.preset == "tiny" else flagship_system()
         pipeline = InferencePipeline(cfg, seed=args.seed)

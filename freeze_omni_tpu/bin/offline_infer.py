@@ -71,10 +71,10 @@ def run_inference(cfg: SystemConfig, args, pipeline=None, tts_params=None):
             # converted reference checkpoints (utils/factory.py)
             from ..utils.factory import build_system_from_reference
 
-            cfg, audiollm_params, tts_params = build_system_from_reference(
-                model_path, args.llm_path)
+            cfg, audiollm_params, tts_params, tokenizer = \
+                build_system_from_reference(model_path, args.llm_path)
             pipeline = InferencePipeline(cfg, params=audiollm_params,
-                                         seed=args.seed)
+                                         tokenizer=tokenizer, seed=args.seed)
         if pipeline is None:
             pipeline = InferencePipeline(cfg, seed=args.seed)
         if tts_params is None:

@@ -66,10 +66,13 @@ class Server:
 
         self.args = args
         self._ckpt_params = None
+        self._ckpt_tts = None
+        self._tokenizer = None
         if args.model_path:
             from ..utils.factory import build_system_from_reference
 
-            self.cfg, self._ckpt_params, _ = build_system_from_reference(
+            (self.cfg, self._ckpt_params, self._ckpt_tts,
+             self._tokenizer) = build_system_from_reference(
                 args.model_path, args.llm_path)
         else:
             self.cfg = (tiny_system() if args.preset == "tiny"
@@ -92,17 +95,11 @@ class Server:
             self.cfg = cfg
             svc_tts = None
             if args.respond:
-                import jax
-
-                from ..models import codec as codec_mod
-                from ..models import speech_decoder as sd
-
-                k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed + 7))
-                svc_tts = {"decoder": sd.init_params(k1, cfg.tts.decoder),
-                           "codec": codec_mod.init_params(k2, cfg.tts.codec)}
+                svc_tts = self._ckpt_tts or self._init_tts_params()
             self.service = DuplexService(cfg, seed=args.seed,
                                          tts_params=svc_tts,
-                                         params=self._ckpt_params)
+                                         params=self._ckpt_params,
+                                         tokenizer=self._tokenizer)
             self.pipeline = None
             self._svc_stop = threading.Event()
 
@@ -114,24 +111,27 @@ class Server:
             threading.Thread(target=ticker, daemon=True).start()
         else:
             self.pipeline = DuplexPipeline(self.cfg, seed=args.seed,
-                                           params=self._ckpt_params)
+                                           params=self._ckpt_params,
+                                           tokenizer=self._tokenizer)
         self.responder = None
         if args.respond and self.service is None:
-            import jax
-
             from ..duplex.responder import DuplexResponder
-            from ..models import codec as codec_mod
-            from ..models import speech_decoder as sd
             from ..tts import StreamingTTS
 
-            k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed + 7))
-            tts = StreamingTTS(
-                {"decoder": sd.init_params(k1, self.cfg.tts.decoder),
-                 "codec": codec_mod.init_params(k2, self.cfg.tts.codec)},
-                self.cfg.tts, seed=args.seed)
-            core = (self.service.engine.core if self.service is not None
-                    else self.pipeline.core)
-            self.responder = DuplexResponder(core, tts, self.cfg)
+            tts = StreamingTTS(self._ckpt_tts or self._init_tts_params(),
+                               self.cfg.tts, seed=args.seed)
+            self.responder = DuplexResponder(self.pipeline.core, tts, self.cfg)
+
+    def _init_tts_params(self):
+        """Random-init TTS params (weightless presets only)."""
+        import jax
+
+        from ..models import codec as codec_mod
+        from ..models import speech_decoder as sd
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(self.args.seed + 7))
+        return {"decoder": sd.init_params(k1, self.cfg.tts.decoder),
+                "codec": codec_mod.init_params(k2, self.cfg.tts.codec)}
 
     async def handler(self, ws):
         from ..duplex.engine import DuplexSession

@@ -126,10 +126,24 @@ def load_codec(model_path: str, cfg: Optional[CodecConfig] = None
                                    with_encoder="encoder" in torch_ckpt)
 
 
+def load_tokenizer(llm_path: str, vocab_size: int):
+    """Real-weight runs need the real Qwen2 BPE tokenizer (audioLLM.py:73-74);
+    the ByteTokenizer fallback only makes sense for weightless/synthetic runs
+    (its decode drops ids >= 256, so real generations would come out empty)."""
+    from .tokenizer import ByteTokenizer, HFTokenizer
+
+    try:
+        return HFTokenizer(llm_path)
+    except Exception as e:
+        print(f"[tokenizer] no usable HF tokenizer at {llm_path} ({e!r}); "
+              "falling back to ByteTokenizer (synthetic-weights mode)")
+        return ByteTokenizer(vocab_size)
+
+
 def build_system_from_reference(model_path: str, llm_path: str
-                                ) -> Tuple[SystemConfig, dict, dict]:
+                                ) -> Tuple[SystemConfig, dict, dict, object]:
     """Full parity loader: returns (system config, audio_llm params incl. LLM,
-    tts params {'decoder','codec'})."""
+    tts params {'decoder','codec'}, tokenizer)."""
     import dataclasses
 
     acfg, audiollm = load_audiollm(model_path)
@@ -142,4 +156,5 @@ def build_system_from_reference(model_path: str, llm_path: str
     cfg = dataclasses.replace(
         base, audio_llm=acfg,
         tts=dataclasses.replace(base.tts, decoder=dcfg, codec=ccfg))
-    return cfg, audiollm, {"decoder": dec, "codec": codec}
+    tokenizer = load_tokenizer(llm_path, llm_cfg.vocab_size)
+    return cfg, audiollm, {"decoder": dec, "codec": codec}, tokenizer
