@@ -49,25 +49,37 @@ def init_cache(cfg: LLMConfig, batch: int = 1, max_len: Optional[int] = None,
 
 def init_layer_stack(key, cfg: LLMConfig, num_layers: int, dtype=jnp.bfloat16):
     """Stacked decoder-layer params [num_layers, ...] (shared by the Qwen2
-    backbone and the LLaMA-architecture speech decoder's three stacks)."""
+    backbone and the LLaMA-architecture speech decoder's three stacks).
+
+    Each weight group is created directly at its stacked [L, ...] shape:
+    building per-layer trees and jnp.stack-ing them doubles peak HBM (the
+    parts and the stack are resident together), which is what made full-depth
+    7B init appear to OOM a 16 GB chip in round 1."""
     D, H, Hkv, dk = cfg.hidden, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    L = num_layers
+    ks = jax.random.split(key, 7)
 
-    def layer_init(k):
-        ks = jax.random.split(k, 7)
-        return {
-            "ln1": rms_norm_init(D, dtype),
-            "q": linear_init(ks[0], D, H * dk, bias=cfg.qkv_bias, dtype=dtype),
-            "k": linear_init(ks[1], D, Hkv * dk, bias=cfg.qkv_bias, dtype=dtype),
-            "v": linear_init(ks[2], D, Hkv * dk, bias=cfg.qkv_bias, dtype=dtype),
-            "o": linear_init(ks[3], H * dk, D, bias=False, dtype=dtype),
-            "ln2": rms_norm_init(D, dtype),
-            "gate": linear_init(ks[4], D, cfg.ffn, bias=False, dtype=dtype),
-            "up": linear_init(ks[5], D, cfg.ffn, bias=False, dtype=dtype),
-            "down": linear_init(ks[6], cfg.ffn, D, bias=False, dtype=dtype),
-        }
+    def lin(k, i, o, bias):
+        bound = 1.0 / math.sqrt(i)
+        mk = jax.jit(lambda k: jax.random.uniform(k, (L, i, o), dtype,
+                                                  -bound, bound))
+        p = {"w": mk(k)}
+        if bias:
+            p["b"] = jax.random.uniform(jax.random.fold_in(k, 1), (L, o),
+                                        dtype, -bound, bound)
+        return p
 
-    layers = [layer_init(k) for k in jax.random.split(key, num_layers)]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {
+        "ln1": {"scale": jnp.ones((L, D), dtype)},
+        "q": lin(ks[0], D, H * dk, cfg.qkv_bias),
+        "k": lin(ks[1], D, Hkv * dk, cfg.qkv_bias),
+        "v": lin(ks[2], D, Hkv * dk, cfg.qkv_bias),
+        "o": lin(ks[3], H * dk, D, False),
+        "ln2": {"scale": jnp.ones((L, D), dtype)},
+        "gate": lin(ks[4], D, cfg.ffn, False),
+        "up": lin(ks[5], D, cfg.ffn, False),
+        "down": lin(ks[6], cfg.ffn, D, False),
+    }
 
 
 def init_params(key, cfg: LLMConfig, dtype=jnp.bfloat16) -> dict:
@@ -179,9 +191,8 @@ def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,
         return x, (k_cache, v_cache)
 
     if isinstance(params["layers"], (list, tuple)):
-        # unrolled layer loop: used with int8 weights, whose stacked form
-        # triggers a whole-stack relayout copy at while-loop entry on TPU
-        # (see ops/quant_matmul.py); per-layer buffers avoid it
+        # unrolled layer loop (legacy per-layer param lists); the production
+        # path is the stacked scan below, which works for bf16 AND int8
         x = embeds
         new_ks, new_vs = [], []
         for i, lp in enumerate(params["layers"]):

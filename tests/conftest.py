@@ -5,8 +5,13 @@ chip, and multi-chip sharding logic is validated on CPU-backed devices."""
 
 import os
 
+# opt level 0: test shapes are tiny, so XLA compile time dominates the suite
+# on this box's single CPU core; measured ~25-30% faster with no behavioral
+# difference (numerical parity tests all still pass).
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    + " --xla_backend_optimization_level=0"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
 
