@@ -355,12 +355,14 @@ def main():
 
     def fast_trial(caches, key):
         t_start = time.perf_counter()
-        pcm, toks, done, ctoks, kv2 = fastpath.first_response(
+        pcm, toks, done, ctoks, n_valid, kv2 = fastpath.first_response(
             params, tts_params, acfg, cfg.tts.decoder, cfg.tts.codec,
             assistant_ids, caches.kv, key, sampling,
             n_text=args.sentence_tokens - 1,
             n_codec=cfg.tts.codec_chunk_size + cfg.tts.codec_padding_size,
-            top_k=2, eod_id=-1, global_tokens=gt)
+            top_k=2, eod_id=-1, global_tokens=gt,
+            penalty_window=cfg.tts.penalty_window_size,
+            penalty=cfg.tts.penalty)
         np.asarray(pcm)  # the single host sync
         return (time.perf_counter() - t_start) * 1e3
 

@@ -201,15 +201,25 @@ class ServingEngine:
         gt = jnp.asarray(np.array(cfg.tts.codec.global_tokens,
                                   np.int32)[None, None])
         ids = jnp.asarray(core.chat.system_prefix_ids)[None]
-        n_codec = cfg.tts.codec_chunk_size + cfg.tts.codec_padding_size
-        pcm, toks, done, ctoks, kv = fastpath.first_response(
+        chunk = cfg.tts.codec_chunk_size
+        padding = cfg.tts.codec_padding_size
+        n_codec = chunk + padding
+        pcm, toks, done, ctoks, n_valid, kv = fastpath.first_response(
             core.params, tts_params, cfg.audio_llm, cfg.tts.decoder,
             cfg.tts.codec, ids, kv,
             rng if rng is not None else core.next_key(), cfg.sampling,
             n_text=n_text, n_codec=n_codec, top_k=cfg.tts.top_k,
-            eod_id=core.tokenizer.eod_id, global_tokens=gt)
+            eod_id=core.tokenizer.eod_id, global_tokens=gt,
+            penalty_window=cfg.tts.penalty_window_size,
+            penalty=cfg.tts.penalty)
         self.store.scatter_kv(slot, kv)  # stays on-device (no host sync)
-        pcm_np, toks_np = jax.device_get((pcm, toks))  # ONE host sync
+        pcm_np, toks_np, nv = jax.device_get((pcm, toks, n_valid))  # ONE sync
+        # reference emission semantics (llm2tts.py:140-160): an eos inside the
+        # block makes this the final chunk (emit every valid token's samples);
+        # otherwise trim the right look-ahead padding
+        nv = int(nv[0])
+        emit_tokens = nv if nv < n_codec else n_codec - padding
+        pcm_np = pcm_np[:, :, : emit_tokens * cfg.tts.codec.upsample_rate]
         return pcm_np, [int(t) for t in toks_np[0]]
 
 

@@ -31,14 +31,21 @@ from ..models import speech_decoder as sd
 
 
 @partial(jax.jit, static_argnames=("acfg", "dcfg", "ccfg", "sampling",
-                                   "n_text", "n_codec", "top_k", "eod_id"))
+                                   "n_text", "n_codec", "top_k", "eod_id",
+                                   "penalty_window", "penalty"))
 def first_response(params, tts_params, acfg: AudioLLMConfig,
                    dcfg: SpeechDecoderConfig, ccfg: CodecConfig,
                    assistant_ids, kv, rng, sampling: SamplingConfig,
                    n_text: int, n_codec: int, top_k: int, eod_id: int,
-                   global_tokens):
+                   global_tokens, penalty_window: int = 10,
+                   penalty: float = 1.1):
     """Returns (pcm [1, 1, samples], text_tokens [1, n_text+1], text_done [1],
-    codec_tokens [1, n_codec], kv). One device dispatch end-to-end."""
+    codec_tokens [1, n_codec], n_valid_codec [1], kv). One device dispatch
+    end-to-end. The PCM length is static; callers trim host-side to
+    n_valid_codec (minus the look-ahead padding when no eos fired) — matching
+    the reference's eos stop + right-padding trim (llm2tts.py:140-160).
+    penalty_window/penalty: the repetition penalty the reference applies in
+    its codec decode loop (decoder.py:349-351); window 10 is its default."""
     k1, k2 = jax.random.split(rng)
 
     # 1) text: prefill assistant prefix + first segment, all on-device
@@ -64,12 +71,24 @@ def first_response(params, tts_params, acfg: AudioLLMConfig,
     _, cache = sd.prefill(tts_params["decoder"], dcfg, block,
                           jnp.ones(block.shape[:2], bool), cache)
 
-    # 4) codec-token scan + vocoder
-    state = sd.init_decode_state(dcfg, cache, 1)
+    # 4) codec-token scan (reference decode semantics: repetition penalty over
+    #    the recent-token window, decoder.py:349-351) + vocoder
+    state = sd.init_decode_state(dcfg, cache, max(penalty_window, 1))
     codec_toks, state = sd.decode_segment(
         tts_params["decoder"], dcfg, state, k2, n_steps=n_codec, top_k=top_k,
-        penalty_window=-1, penalty=1.0)
-    codes = jnp.clip(codec_toks, 0, dcfg.codec_vocab - 1)[:, :, None]
+        penalty_window=penalty_window, penalty=penalty)
+    # tokens from the first eos/pad onward are invalid: count the valid prefix
+    # and repeat the last valid token through the tail so the vocoder's
+    # receptive field near the cut sees speech, not clipped specials
+    invalid = codec_toks >= dcfg.codec_vocab  # [1, n] specials are >= vocab
+    n_valid = jnp.where(jnp.any(invalid, axis=1),
+                        jnp.argmax(invalid, axis=1),
+                        jnp.asarray(n_codec)).astype(jnp.int32)   # [1]
+    pos = jnp.arange(n_codec)[None, :]
+    last_valid = jnp.maximum(n_valid - 1, 0)[:, None]
+    fill = jnp.take_along_axis(codec_toks, last_valid, axis=1)
+    codes = jnp.where(pos < n_valid[:, None], codec_toks, fill)
+    codes = jnp.clip(codes, 0, dcfg.codec_vocab - 1)[:, :, None]
     pcm = codec_mod.decode(tts_params["codec"], ccfg, codes, global_tokens)
 
-    return pcm, toks, done, codec_toks, kv
+    return pcm, toks, done, codec_toks, n_valid, kv
