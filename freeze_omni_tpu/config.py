@@ -376,6 +376,13 @@ class ServingConfig:
     prefill_chunk_len: int = 16  # static padded chunk length for LLM prefill
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, model)
     mesh_axes: Tuple[str, ...] = ("data", "model")
+    # sliding-window KV (qwen2.roll_kv): roll a session when its cache has
+    # less than kv_margin free slots (the margin must cover the largest
+    # appendage between checks: a chunk prefill or assistant prefix +
+    # generated tokens), keeping the role prefix + the last kv_keep_recent
+    # entries. 0 margin disables rolling (hard reset fallback).
+    kv_margin: int = 128
+    kv_keep_recent: int = 512
 
 
 @dataclass(frozen=True)

@@ -21,6 +21,7 @@ import threading
 import time
 from typing import Dict, List, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import SystemConfig
@@ -218,17 +219,27 @@ class DuplexSession:
     def _predict_stage(self, feat: dict) -> None:
         identity = feat["identity"]
         # The reference lets the shared KV grow unbounded within a session
-        # (SURVEY.md §5 long-context note); here the cache is fixed-capacity,
-        # so approaching it triggers a context reset back to the role prefill.
+        # (SURVEY.md §5 long-context note); here the cache is fixed-capacity
+        # and sessions nearing it ROLL (qwen2.roll_kv): the role prefill stays
+        # pinned and the most recent window of dialog survives in place.
         kv_len = int(np.asarray(self.past_key_values.length)[0])
         cap = self.past_key_values.k.shape[2]
-        if kv_len > cap - 64:
-            self.sink.emit("error", {
-                "where": "context", "message":
-                f"KV near capacity ({kv_len}/{cap}); resetting context"})
-            self.past_key_values = self.system_role_kv
-            self.caches = {i: {"encoder_cache": None, "adapter_cache": None,
-                               "pe_index": 0} for i in IDENTITIES}
+        margin = max(self.cfg.serving.kv_margin, 64)
+        if kv_len > cap - margin:
+            from ..models import qwen2 as _qwen2
+
+            prefix = self.system_role_kv.length
+            # post-roll length targets half the usable window (see
+            # runtime/engine._maybe_roll_kv)
+            target = (cap - margin) // 2
+            keep = jnp.minimum(jnp.maximum(target - prefix, 16),
+                               self.cfg.serving.kv_keep_recent)
+            self.past_key_values = _qwen2.roll_kv(
+                self.cfg.audio_llm.llm, self.past_key_values, prefix, keep,
+                jnp.ones_like(prefix, bool))
+            self.sink.emit("kv_roll", {
+                "identity": identity, "kept_recent": int(np.asarray(keep)[0]),
+                "time_stamp": feat["time_stamp"]})
         c = self.caches[identity]
         pred, kv, adp, enc, pe = self.pipeline.speech_dialogue(
             feat["feature"], identity, feat["status"],

@@ -210,6 +210,63 @@ def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,
     return x, new_cache
 
 
+def roll_kv(cfg: LLMConfig, kv: KVCache, prefix_len: jnp.ndarray,
+            keep_recent: int, do_roll: jnp.ndarray) -> KVCache:
+    """Sliding-window KV compaction with a pinned prefix (per batch row).
+
+    For rows where do_roll: keep slots [0, prefix_len) (the system-role
+    prefill — the "attention sink" tokens) and move the most recent
+    `keep_recent` conversation entries down to [prefix_len, prefix_len + W).
+    Cached K vectors carry RoPE applied at their original positions; the move
+    shifts every kept conversation entry by the SAME offset, so one extra
+    rotation by that offset re-indexes them to within-cache positions — the
+    StreamingLLM eviction semantics (original contextual K/V preserved,
+    relative distances measured inside the cache). For a single layer the
+    rolled cache is numerically identical to a fresh prefill of
+    [prefix, window] (layer-0 K/V are context-free); deeper layers keep their
+    full-history contextual values, which is the point: this replaces the
+    reference's unbounded KV growth (audioLLM.py:416-419) and round-1's hard
+    context reset — dialog history inside the window survives.
+
+    prefix_len/do_roll: [B]. Rows with do_roll=False pass through untouched.
+    """
+    Lc, B, S, Hkv, dk = kv.k.shape
+    length = kv.length
+    W = jnp.clip(jnp.asarray(keep_recent), 0, length - prefix_len)     # [B]
+    start = length - W                                                 # [B]
+    s_idx = jnp.arange(S)[None, :]                                     # [1,S]
+    in_prefix = s_idx < prefix_len[:, None]                            # [B,S]
+    src = jnp.where(in_prefix, s_idx,
+                    s_idx - prefix_len[:, None] + start[:, None])
+    src = jnp.clip(src, 0, S - 1)
+    # uniform shift of the moved entries: new_pos - old_pos
+    delta = jnp.where(in_prefix, 0,
+                      prefix_len[:, None] - start[:, None])            # [B,S]
+
+    cos, sin = rotary_embed(delta.reshape(-1), dk, cfg.rope_theta)
+    cos = cos.reshape(B, S, 1, dk)
+    sin = sin.reshape(B, S, 1, dk)
+
+    def rot(x):  # x: [L, B, S, Hkv, dk]
+        d2 = dk // 2
+        x1, x2 = x[..., :d2], x[..., d2:]
+        r = jnp.concatenate([-x2, x1], axis=-1)
+        return (x * cos[None] + r * sin[None]).astype(x.dtype)
+
+    idx = src[None, :, :, None, None]                # [1, B, S, 1, 1]
+    k_rolled = rot(jnp.take_along_axis(kv.k, idx, axis=2))
+    v_rolled = jnp.take_along_axis(kv.v, idx, axis=2)
+
+    new_len = prefix_len + W
+    valid = s_idx < new_len[:, None]                                   # [B,S]
+    sel = (do_roll[:, None] & valid)[None, :, :, None, None]
+    zero_sel = (do_roll[:, None] & ~valid)[None, :, :, None, None]
+    k_new = jnp.where(sel, k_rolled, jnp.where(zero_sel, 0, kv.k))
+    v_new = jnp.where(sel, v_rolled, jnp.where(zero_sel, 0, kv.v))
+    return KVCache(k=k_new, v=v_new,
+                   length=jnp.where(do_roll, new_len, length))
+
+
 def last_valid_index(mask: jnp.ndarray) -> jnp.ndarray:
     """Index of the last valid token per row of a [B, T] mask."""
     T = mask.shape[1]

@@ -75,6 +75,7 @@ class ServingEngine:
         self._callbacks: Dict[int, Callable[[str, dict], None]] = {}
         self._role_kv_cache: Dict[str, qwen2.KVCache] = {}
         self._slot_role: Dict[int, str] = {}
+        self._roll = None  # jitted qwen2.roll_kv, built on first use
 
     # ------------------------------------------------------------------
     # session management
@@ -122,14 +123,7 @@ class ServingEngine:
         """Run one batched step per identity with pending work. Returns
         {identity: {slot: {'state_1','state_2'}}} for user predictions."""
         results: Dict[str, Dict[int, dict]] = {}
-        # fixed-capacity KV: sessions nearing it restart from their role prefill
-        cap = self.store.caches.kv.k.shape[2]
-        lengths = np.asarray(self.store.caches.kv.length)
-        for sid in list(self.store.active_sids):
-            slot = self.store.slot_of(sid)
-            if lengths[slot] > cap - 64:
-                role_kv = self._role_kv_cache.get(self._slot_role.get(slot))
-                self.store.reset_slot(slot, role_kv)
+        self._maybe_roll_kv()
         for identity in IDENTITIES:
             with self._lock:
                 pending = self._pending[identity]
@@ -167,6 +161,39 @@ class ServingEngine:
         return results
 
 
+    def _maybe_roll_kv(self) -> None:
+        """Sliding-window KV (qwen2.roll_kv): sessions within kv_margin of
+        capacity keep their pinned role prefix + the most recent window and
+        continue — no context reset, dialog history inside the window
+        survives (vs the reference's unbounded growth, audioLLM.py:416-419).
+        The margin covers the largest appendage between checks (ADVICE r1:
+        a chunk prefill or assistant prefix + generated response tokens)."""
+        margin = self.cfg.serving.kv_margin
+        if margin <= 0:
+            return
+        cap = self.store.caches.kv.k.shape[2]
+        lengths = np.asarray(self.store.caches.kv.length)
+        need = lengths > cap - margin
+        if not need.any():
+            return
+        # post-roll length targets half the usable window so consecutive
+        # appends don't immediately re-trigger the roll
+        target = (cap - margin) // 2
+        keep = np.minimum(
+            np.maximum(target - self.store.prefix_len, 16),
+            self.cfg.serving.kv_keep_recent).astype(np.int32)
+        if self._roll is None:
+            self._roll = jax.jit(qwen2.roll_kv, static_argnames=("cfg",))
+        new_kv = self._roll(self.cfg.audio_llm.llm, self.store.caches.kv,
+                            jnp.asarray(self.store.prefix_len),
+                            jnp.asarray(keep), jnp.asarray(need))
+        self.store.caches = self.store.caches._replace(kv=new_kv)
+        for slot in np.nonzero(need)[0]:
+            cb = self._callbacks.get(int(slot))
+            if cb is not None:
+                cb("kv_roll", {"kept_recent": int(keep[slot]),
+                               "prefix": int(self.store.prefix_len[slot])})
+
     # ------------------------------------------------------------------
     # response generation (per session, on the shared batched caches)
     # ------------------------------------------------------------------
@@ -176,6 +203,7 @@ class ServingEngine:
         KV context: gather the slot, run the DuplexResponder (on-device text
         segments + TTS), scatter the advanced KV back. Returns
         [(sentence_text, pcm16 | None), ...]."""
+        self._maybe_roll_kv()  # capacity headroom before appending a response
         slot = self.store.slot_of(sid)
         kv = self.store.gather_kv(slot)
         out = []
@@ -194,6 +222,7 @@ class ServingEngine:
 
         from . import fastpath
 
+        self._maybe_roll_kv()  # capacity headroom before appending a response
         core = self.core
         cfg = self.cfg
         slot = self.store.slot_of(sid)

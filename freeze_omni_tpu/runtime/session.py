@@ -55,6 +55,8 @@ class SessionStore:
         self._row_template = audio_llm.init_session(cfg, 1, kv_dtype)
         self._free: List[int] = list(range(max_sessions))
         self._slots: Dict[str, int] = {}
+        # pinned role-prefill length per slot (the sliding-KV "sink" prefix)
+        self.prefix_len = np.zeros((max_sessions,), np.int32)
 
     def alloc(self, sid: str, role_kv: Optional[qwen2.KVCache] = None) -> int:
         """Claim a slot; optionally seed its LLM KV row from a system-role
@@ -82,9 +84,11 @@ class SessionStore:
 
     def reset_slot(self, slot: int, role_kv: Optional[qwen2.KVCache] = None) -> None:
         row = self._row_template
+        self.prefix_len[slot] = 0
         if role_kv is not None:
             # seed the KV row: copy the role prefill into position 0..len
             row = row._replace(kv=role_kv)
+            self.prefix_len[slot] = int(np.asarray(role_kv.length)[0])
         # squeeze the batch-1 row to unbatched leaves for dynamic_update
         def squeeze(leaf, ax):
             return jnp.take(leaf, 0, axis=ax) if ax is not None else leaf

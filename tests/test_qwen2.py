@@ -114,3 +114,91 @@ class TestQwen2:
     def test_last_valid_index(self):
         m = jnp.array([[True, True, False], [True, False, False]])
         np.testing.assert_array_equal(np.asarray(qwen2.last_valid_index(m)), [1, 0])
+
+
+class TestRollKV:
+    """Sliding-window KV with pinned role prefix (replaces hard context
+    reset). roll_kv keeps the ORIGINAL contextual K/V of the window and
+    re-rotates moved K entries to within-cache positions (StreamingLLM
+    eviction semantics): for a 1-layer model K/V are context-free, so the
+    rolled cache must equal a fresh prefill of [prefix, window] exactly."""
+
+    def _cfg(self, layers=2):
+        from freeze_omni_tpu.config import LLMConfig
+        return LLMConfig(hidden=64, num_layers=layers, num_heads=4,
+                         num_kv_heads=2, ffn=128, vocab_size=97, max_kv_len=48)
+
+    def test_roll_matches_fresh_prefill_single_layer(self):
+        cfg = self._cfg(layers=1)
+        params = qwen2.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+        P, N, W = 5, 30, 12
+        rng = np.random.RandomState(0)
+        role = jnp.asarray(rng.randint(0, 97, (1, P)))
+        convo = jnp.asarray(rng.randint(0, 97, (1, N)))
+
+        def prefill(ids, kv):
+            emb = qwen2.embed_tokens(params, ids)
+            _, kv = qwen2.forward(params, cfg, emb,
+                                  jnp.ones(ids.shape, bool), kv)
+            return kv
+
+        kv = prefill(role, qwen2.init_cache(cfg, 1, dtype=jnp.float32))
+        kv = prefill(convo, kv)
+        rolled = qwen2.roll_kv(cfg, kv, jnp.asarray([P]), W,
+                               jnp.asarray([True]))
+        assert int(rolled.length[0]) == P + W
+
+        fresh = prefill(role, qwen2.init_cache(cfg, 1, dtype=jnp.float32))
+        fresh = prefill(convo[:, -W:], fresh)
+        np.testing.assert_allclose(np.asarray(rolled.k[:, :, : P + W]),
+                                   np.asarray(fresh.k[:, :, : P + W]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rolled.v[:, :, : P + W]),
+                                   np.asarray(fresh.v[:, :, : P + W]),
+                                   rtol=1e-4, atol=1e-5)
+
+        # next-step hidden identical: the roll is invisible to the model
+        nxt = jnp.asarray(rng.randint(0, 97, (1, 1)))
+        emb = qwen2.embed_tokens(params, nxt)
+        h_roll, _ = qwen2.forward(params, cfg, emb, jnp.ones((1, 1), bool),
+                                  rolled)
+        h_fresh, _ = qwen2.forward(params, cfg, emb, jnp.ones((1, 1), bool),
+                                   fresh)
+        np.testing.assert_allclose(np.asarray(h_roll), np.asarray(h_fresh),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_roll_preserves_contextual_values_deep(self):
+        """Deep layers keep their full-history contextual V (the reason the
+        roll is better than a reset): window V rows move verbatim."""
+        cfg = self._cfg(layers=2)
+        params = qwen2.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+        rng = np.random.RandomState(2)
+        ids = jnp.asarray(rng.randint(0, 97, (1, 25)))
+        emb = qwen2.embed_tokens(params, ids)
+        kv = qwen2.init_cache(cfg, 1, dtype=jnp.float32)
+        _, kv = qwen2.forward(params, cfg, emb, jnp.ones((1, 25), bool), kv)
+        P, W = 4, 10
+        rolled = qwen2.roll_kv(cfg, kv, jnp.asarray([P]), W,
+                               jnp.asarray([True]))
+        np.testing.assert_array_equal(
+            np.asarray(rolled.v[:, :, P : P + W]),
+            np.asarray(kv.v[:, :, 25 - W : 25]))
+        np.testing.assert_array_equal(np.asarray(rolled.v[:, :, :P]),
+                                      np.asarray(kv.v[:, :, :P]))
+
+    def test_roll_is_per_row_gated(self):
+        cfg = self._cfg()
+        params = qwen2.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+        rng = np.random.RandomState(1)
+        ids = jnp.asarray(rng.randint(0, 97, (2, 20)))
+        emb = qwen2.embed_tokens(params, ids)
+        kv = qwen2.init_cache(cfg, 2, dtype=jnp.float32)
+        _, kv = qwen2.forward(params, cfg, emb, jnp.ones((2, 20), bool), kv)
+        rolled = qwen2.roll_kv(cfg, kv, jnp.asarray([4, 4]), 8,
+                               jnp.asarray([True, False]))
+        assert int(rolled.length[0]) == 12 and int(rolled.length[1]) == 20
+        np.testing.assert_array_equal(np.asarray(rolled.k[:, 1]),
+                                      np.asarray(kv.k[:, 1]))
