@@ -349,6 +349,13 @@ class VADConfig:
     min_silence_s: float = 0.5
     speech_pad_s: float = 0.03
     history_cache_chunks: int = 2
+    # 'learned' = log-mel GRU (assets/vad.npz, trained by training/vad.py,
+    # the silero-vad role); 'energy' = adaptive-noise-floor fallback
+    kind: str = "learned"
+    # the system identity hears our own synthesized speech: an energy gate is
+    # sufficient there and robust to codec artifacts
+    system_kind: str = "energy"
+    weights: Optional[str] = None  # None -> packaged assets/vad.npz
 
 
 @dataclass(frozen=True)

@@ -31,7 +31,7 @@ from ..utils.queues import PCMQueue
 from .events import EventSink
 from .ipu import IPUHandle
 from .serializer import ContextSerializer
-from .vad import EnergyVAD
+from .vad import make_vad
 
 IDENTITIES = ("user", "system")
 
@@ -59,7 +59,7 @@ class DuplexSession:
         vad_cfg = dataclasses.replace(vad_cfg, chunk_size=samples)
 
         self.pcm: Dict[str, PCMQueue] = {i: PCMQueue() for i in IDENTITIES}
-        self.vad = {i: EnergyVAD(vad_cfg) for i in IDENTITIES}
+        self.vad = {i: make_vad(vad_cfg, identity=i) for i in IDENTITIES}
         self.gating = {i: GatingChunker(gating_cfg) for i in IDENTITIES}
         self.serializer = ContextSerializer()
         self.current_ipu: Dict[str, Optional[IPUHandle]] = {

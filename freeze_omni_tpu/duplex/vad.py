@@ -7,20 +7,28 @@ whose contract is visible at its call sites: `get_chunk_size()` (413),
 (208). The pinned silero-vad 5.1.2 cannot be shipped here (no weights), so this
 module provides:
 
-- `EnergyVAD`: a deterministic streaming detector (adaptive noise floor,
-  speech-pad onset replay from a history ring, hangover-based end-of-IPU) that
-  satisfies the same contract and timing config (configs yaml: threshold 0.5,
-  min_silent 0.5s, speech_pad 0.03s, history 2 chunks);
-- a pluggable interface so a learned JAX VAD can drop in later.
+- `LearnedVAD` (the default): a frame-level log-mel GRU trained on synthetic
+  speech/noise mixtures (training/vad.py), running host-side in numpy — the
+  VAD must not pay a device round-trip per 32 ms chunk. Weights load from the
+  packaged `assets/vad.npz` (or a user path);
+- `EnergyVAD` (fallback): a deterministic adaptive-noise-floor detector.
+
+Both share the IPU lifecycle state machine (onset replay from a history ring,
+hangover-based end-of-IPU) and the timing config (configs yaml: threshold 0.5,
+min_silent 0.5s, speech_pad 0.03s, history 2 chunks).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
 
 from ..config import VADConfig
+
+DEFAULT_VAD_WEIGHTS = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                   "assets", "vad.npz")
 
 
 class EnergyVAD:
@@ -98,3 +106,70 @@ class EnergyVAD:
             "time_stamp": data.get("time_stamp"),
             "prob": prob,
         }
+
+
+class LearnedVAD(EnergyVAD):
+    """Frame-level log-mel GRU VAD (numpy inference twin of training/vad.py).
+
+    Streaming: the GRU hidden state carries across chunks; each predict() call
+    computes 16 ms/8 ms Kaldi fbank frames of the chunk host-side (the same
+    `fbank_ref` the tests golden against) and returns the mean frame speech
+    probability. Same IPU lifecycle/state machine as EnergyVAD."""
+
+    def __init__(self, cfg: VADConfig = VADConfig(),
+                 weights: Optional[str] = None):
+        path = weights or DEFAULT_VAD_WEIGHTS
+        with np.load(path) as z:
+            self.params = {k: z[k].astype(np.float32) for k in z.files}
+        super().__init__(cfg)
+
+    def reset(self) -> None:
+        super().reset()
+        self.h = np.zeros(self.params["wz"].shape[1], np.float32)
+        self._carry = np.zeros(0, np.float32)  # tail samples < one frame
+
+    @staticmethod
+    def _sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    def _prob(self, audio: np.ndarray) -> float:
+        from ..frontend.fbank import fbank_ref
+        from ..training.vad import VAD_FBANK
+
+        p = self.params
+        wav = np.concatenate([self._carry, audio])
+        fl, fs = VAD_FBANK.frame_length, VAD_FBANK.frame_shift
+        if wav.shape[0] < fl:
+            self._carry = wav
+            return 0.0
+        m = 1 + (wav.shape[0] - fl) // fs
+        self._carry = wav[m * fs :]
+        feats = fbank_ref(wav * 32768.0, VAD_FBANK)
+        x = (feats - p["mean"]) * p["scale"]
+        h = self.h
+        probs = np.empty(m, np.float32)
+        for i in range(m):
+            xh = np.concatenate([x[i], h])
+            z = self._sigmoid(xh @ p["wz"] + p["bz"])
+            r = self._sigmoid(xh @ p["wr"] + p["br"])
+            xrh = np.concatenate([x[i], r * h])
+            hh = np.tanh(xrh @ p["wh"] + p["bh"])
+            h = (1 - z) * h + z * hh
+            probs[i] = self._sigmoid(h @ p["wo"] + p["bo"])[0]
+        self.h = h
+        return float(probs.mean())
+
+
+def make_vad(cfg: VADConfig, weights: Optional[str] = None,
+             identity: str = "user"):
+    """Default factory: learned VAD when weights exist, energy fallback.
+    The system identity (our own TTS fed back in) defaults to the energy
+    gate — activity detection on self-produced speech, no discrimination
+    needed (cfg.system_kind)."""
+    kind = (getattr(cfg, "kind", "learned") if identity == "user"
+            else getattr(cfg, "system_kind", "energy"))
+    if kind == "learned":
+        path = weights or getattr(cfg, "weights", None) or DEFAULT_VAD_WEIGHTS
+        if os.path.exists(path):
+            return LearnedVAD(cfg, weights=path)
+    return EnergyVAD(cfg)

@@ -22,7 +22,7 @@ from ..config import SystemConfig
 from ..duplex.events import EventSink
 from ..duplex.ipu import IPUHandle
 from ..duplex.serializer import ContextSerializer
-from ..duplex.vad import EnergyVAD
+from ..duplex.vad import make_vad
 from ..frontend.chunker import GatingChunker
 from ..utils.queues import PCMQueue
 from .engine import ServingEngine
@@ -43,7 +43,7 @@ class _SessionFrontend:
         vad_cfg = dataclasses.replace(cfg.duplex.vad,
                                       chunk_size=gating_cfg.samples_per_chunk)
         self.pcm = {i: PCMQueue() for i in IDENTITIES}
-        self.vad = {i: EnergyVAD(vad_cfg) for i in IDENTITIES}
+        self.vad = {i: make_vad(vad_cfg, identity=i) for i in IDENTITIES}
         self.gating = {i: GatingChunker(gating_cfg) for i in IDENTITIES}
         self.serializer = ContextSerializer()
         self.current_ipu: Dict[str, Optional[IPUHandle]] = {

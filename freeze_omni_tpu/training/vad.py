@@ -1,0 +1,237 @@
+"""Learned streaming VAD: training on synthetic speech/noise mixtures.
+
+The reference pins silero-vad 5.1.2 for its `periphrals.PureVAD`
+(requirements.txt:6, bin/dialog_state_pred.py:134); silero weights cannot be
+shipped here, so this module trains a small frame-level GRU on synthetic
+mixtures (harmonic voiced speech with formants and syllabic modulation vs
+stationary + nonstationary noise: white/pink, tonal music chords, bursts).
+Energy thresholds fail exactly on the nonstationary cases; a spectral GRU
+does not.
+
+Model (shared math with the numpy inference in duplex/vad.py):
+  log-mel frames (16 ms / 8 ms Kaldi fbank, 40 bins) -> affine norm ->
+  GRU(40 -> 32) -> sigmoid head -> per-frame speech probability.
+
+Run:  python -m freeze_omni_tpu.training.vad --out freeze_omni_tpu/assets/vad.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FbankConfig
+
+SR = 16000
+# 16 ms / 8 ms frames (the duplex-path fbank timing), 40 mel bins
+VAD_FBANK = FbankConfig(frame_length_ms=16.0, frame_shift_ms=8.0,
+                        num_mel_bins=40)
+HIDDEN = 32
+N_MEL = 40
+
+
+# ---------------------------------------------------------------------------
+# synthetic data
+# ---------------------------------------------------------------------------
+
+
+def synth_speech(rng: np.random.RandomState, n: int) -> np.ndarray:
+    """Voiced-speech surrogate: harmonic stack with a pitch contour, 1-2
+    formant resonances, and 3-7 Hz syllabic amplitude modulation."""
+    t = np.arange(n) / SR
+    f0 = rng.uniform(80, 260)
+    vibrato = f0 * 0.03 * np.sin(2 * np.pi * rng.uniform(4, 7) * t)
+    drift = f0 * 0.15 * np.sin(2 * np.pi * rng.uniform(0.3, 1.2) * t)
+    phase = 2 * np.pi * np.cumsum(f0 + vibrato + drift) / SR
+    formants = rng.uniform(300, 3000, size=rng.randint(1, 3))
+    bw = rng.uniform(80, 300, size=formants.shape)
+    sig = np.zeros(n)
+    for k in range(1, 13):
+        fk = k * f0
+        amp = sum(np.exp(-((fk - fc) ** 2) / (2 * b**2))
+                  for fc, b in zip(formants, bw)) + 0.05 / k
+        sig += amp * np.sin(k * phase + rng.uniform(0, 2 * np.pi))
+    syllable = 0.55 + 0.45 * np.sin(
+        2 * np.pi * rng.uniform(3, 7) * t + rng.uniform(0, 2 * np.pi))
+    sig = sig * syllable
+    return (sig / (np.abs(sig).max() + 1e-8)).astype(np.float32)
+
+
+def synth_noise(rng: np.random.RandomState, n: int) -> np.ndarray:
+    """Nonspeech: white/pink noise, tonal chords (music-like), noise bursts
+    (door slams / clicks), and low-frequency hum."""
+    kind = rng.randint(4)
+    t = np.arange(n) / SR
+    if kind == 0:  # white / pink
+        x = rng.randn(n)
+        if rng.rand() < 0.5:
+            # one-pole lowpass ~ pink-ish
+            a = rng.uniform(0.9, 0.99)
+            y = np.empty(n)
+            acc = 0.0
+            for i in range(n):  # small n; host-side data gen
+                acc = a * acc + (1 - a) * x[i]
+                y[i] = acc
+            x = y
+    elif kind == 1:  # chord: stable tones (no syllabic AM, no harmonic stack)
+        freqs = rng.uniform(100, 2000, size=rng.randint(2, 5))
+        x = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+                for f in freqs)
+        swell = 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.1, 0.6) * t)
+        x = x * swell
+    elif kind == 2:  # bursts
+        x = np.zeros(n)
+        for _ in range(rng.randint(1, 4)):
+            s = rng.randint(0, max(n - 400, 1))
+            ln = rng.randint(100, 400)
+            x[s : s + ln] += rng.randn(ln) * np.hanning(ln)
+        x += 0.05 * rng.randn(n)
+    else:  # hum + harmonics
+        f = rng.uniform(50, 120)
+        x = sum((1.0 / k) * np.sin(2 * np.pi * k * f * t) for k in range(1, 4))
+    return (x / (np.abs(x).max() + 1e-8)).astype(np.float32)
+
+
+def make_mixture(rng: np.random.RandomState, seconds: float = 2.0):
+    """-> (waveform [-1,1], per-frame labels). Speech segments at random SNR
+    over a noise bed; labels follow the speech gate at frame resolution."""
+    n = int(seconds * SR)
+    noise = synth_noise(rng, n) * rng.uniform(0.01, 0.3)
+    wav = noise.copy()
+    gate = np.zeros(n, bool)
+    pos = rng.randint(0, n // 4)
+    while pos < n - SR // 4:
+        seg = rng.randint(SR // 4, SR)
+        if rng.rand() < 0.65:
+            seg = min(seg, n - pos)
+            amp = rng.uniform(0.05, 0.8)
+            wav[pos : pos + seg] += synth_speech(rng, seg) * amp
+            gate[pos : pos + seg] = True
+        pos += seg + rng.randint(SR // 8, SR // 2)
+    peak = np.abs(wav).max() + 1e-8
+    if peak > 1.0:
+        wav = wav / peak
+    fl, fs = VAD_FBANK.frame_length, VAD_FBANK.frame_shift
+    m = 1 + (n - fl) // fs
+    labels = np.array([gate[i * fs : i * fs + fl].mean() > 0.5
+                       for i in range(m)], np.float32)
+    return wav.astype(np.float32), labels
+
+
+def features(wav: np.ndarray) -> np.ndarray:
+    """Kaldi log-mel frames, host-side (shared with duplex/vad.py inference)."""
+    from ..frontend.fbank import fbank_ref
+
+    return fbank_ref(wav * 32768.0, VAD_FBANK)
+
+
+# ---------------------------------------------------------------------------
+# model (JAX training; numpy twin lives in duplex/vad.py)
+# ---------------------------------------------------------------------------
+
+
+def init_vad_params(key) -> dict:
+    ks = jax.random.split(key, 4)
+    s = 1.0 / math.sqrt(N_MEL + HIDDEN)
+    return {
+        "mean": jnp.zeros((N_MEL,)), "scale": jnp.ones((N_MEL,)),
+        "wz": jax.random.uniform(ks[0], (N_MEL + HIDDEN, HIDDEN), minval=-s, maxval=s),
+        "wr": jax.random.uniform(ks[1], (N_MEL + HIDDEN, HIDDEN), minval=-s, maxval=s),
+        "wh": jax.random.uniform(ks[2], (N_MEL + HIDDEN, HIDDEN), minval=-s, maxval=s),
+        "bz": jnp.zeros((HIDDEN,)), "br": jnp.zeros((HIDDEN,)),
+        "bh": jnp.zeros((HIDDEN,)),
+        "wo": jax.random.uniform(ks[3], (HIDDEN, 1), minval=-s, maxval=s),
+        "bo": jnp.zeros((1,)),
+    }
+
+
+def gru_scan(params, feats, h0):
+    """feats: [T, N_MEL] normalized; h0: [HIDDEN]. -> (probs [T], hT)."""
+    def cell(h, x):
+        xh = jnp.concatenate([x, h])
+        z = jax.nn.sigmoid(xh @ params["wz"] + params["bz"])
+        r = jax.nn.sigmoid(xh @ params["wr"] + params["br"])
+        xrh = jnp.concatenate([x, r * h])
+        hh = jnp.tanh(xrh @ params["wh"] + params["bh"])
+        h = (1 - z) * h + z * hh
+        logit = (h @ params["wo"] + params["bo"])[0]
+        return h, logit
+
+    hT, logits = jax.lax.scan(cell, h0, feats)
+    return jax.nn.sigmoid(logits), hT
+
+
+def forward(params, feats):
+    x = (feats - params["mean"]) * params["scale"]
+    probs, _ = gru_scan(params, x, jnp.zeros((HIDDEN,)))
+    return probs
+
+
+def train(steps: int = 400, batch: int = 8, seed: int = 0,
+          lr: float = 3e-3) -> dict:
+    import optax
+
+    rng = np.random.RandomState(seed)
+    # feature normalization from a data sample
+    sample = np.concatenate([features(make_mixture(rng)[0])
+                             for _ in range(8)], axis=0)
+    mean = sample.mean(0)
+    scale = 1.0 / (sample.std(0) + 1e-3)
+
+    params = init_vad_params(jax.random.PRNGKey(seed))
+    params["mean"] = jnp.asarray(mean)
+    params["scale"] = jnp.asarray(scale)
+
+    opt = optax.adam(lr)
+    trainable = {k: v for k, v in params.items() if k not in ("mean", "scale")}
+    state = opt.init(trainable)
+
+    def loss_fn(tr, feats, labels):
+        p = dict(tr, mean=params["mean"], scale=params["scale"])
+        probs = jax.vmap(lambda f: forward(p, f))(feats)
+        eps = 1e-6
+        bce = -(labels * jnp.log(probs + eps)
+                + (1 - labels) * jnp.log(1 - probs + eps))
+        return bce.mean()
+
+    step_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    for it in range(steps):
+        fb, lb = [], []
+        for _ in range(batch):
+            wav, labels = make_mixture(rng)
+            fb.append(features(wav))
+            lb.append(labels)
+        feats = jnp.asarray(np.stack(fb))
+        labels = jnp.asarray(np.stack(lb))
+        loss, grads = step_fn(trainable, feats, labels)
+        updates, state = opt.update(grads, state)
+        trainable = optax.apply_updates(trainable, updates)
+        if it % 50 == 0 or it == steps - 1:
+            print(f"step {it}: bce {float(loss):.4f}", flush=True)
+
+    return {**{k: np.asarray(v) for k, v in trainable.items()},
+            "mean": np.asarray(mean), "scale": np.asarray(scale)}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="freeze_omni_tpu/assets/vad.npz")
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    jax.config.update("jax_platforms", "cpu")
+    params = train(steps=args.steps, seed=args.seed)
+    import os
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    np.savez(args.out, **params)
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -118,8 +118,8 @@ class TestDuplexSession:
         n = cfg.duplex.gating.samples_per_chunk
         rng = np.random.RandomState(0)
         quiet = (0.0005 * rng.randn(3 * n)).astype(np.float32)
-        loud = (0.5 * np.sin(2 * np.pi * 220 * np.arange(3 * n) / 16000)
-                ).astype(np.float32)
+        from freeze_omni_tpu.training.vad import synth_speech
+        loud = 0.5 * synth_speech(np.random.RandomState(7), 3 * n)
 
         # noise floor then speech then silence
         sess.enqueue_audio_data("user", {"audio": quiet, "enc": "f32"})
@@ -176,8 +176,8 @@ class TestDuplexSession:
 
         n = cfg.duplex.gating.samples_per_chunk
         quiet = (0.0005 * np.random.RandomState(0).randn(n)).astype(np.float32)
-        speech = (0.5 * np.sin(2 * np.pi * 220 * np.arange(2 * n) / 16000)
-                  ).astype(np.float32)
+        from freeze_omni_tpu.training.vad import synth_speech
+        speech = 0.5 * synth_speech(np.random.RandomState(7), 2 * n)
         sess.enqueue_audio_data("user", {"audio": quiet, "enc": "f32"})
         sess.pump()
         sess.enqueue_audio_data("user", {"audio": speech, "enc": "f32"})

@@ -32,7 +32,8 @@ def test_server_session_over_websocket(unused_port=8971):
         sr = 16000
         n = server.cfg.duplex.gating.samples_per_chunk
         quiet = np.zeros(2 * n, np.float32)
-        speech = 0.5 * np.sin(2 * np.pi * 220 * np.arange(3 * n) / sr)
+        from freeze_omni_tpu.training.vad import synth_speech
+        speech = 0.5 * synth_speech(np.random.RandomState(7), 3 * n)
 
         def b64(x):
             return base64.b64encode(

@@ -72,8 +72,8 @@ class TestFailureContainment:
         sess.pipeline.speech_dialogue = flaky
         sess.start(interval=0.005)
         n = cfg.duplex.gating.samples_per_chunk
-        speech = (0.5 * np.sin(2 * np.pi * 220 * np.arange(3 * n) / 16000)
-                  ).astype(np.float32)
+        from freeze_omni_tpu.training.vad import synth_speech
+        speech = 0.5 * synth_speech(np.random.RandomState(7), 3 * n)
         sess.enqueue_audio_data("user", {"audio": np.zeros(n, np.float32),
                                          "enc": "f32"})
         sess.enqueue_audio_data("user", {"audio": speech, "enc": "f32"})

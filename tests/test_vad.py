@@ -1,0 +1,120 @@
+"""Learned VAD: numpy/JAX parity, PureVAD contract, and ROC vs EnergyVAD.
+
+The reference pins silero-vad for `periphrals.PureVAD`
+(requirements.txt:6); here a GRU trained on synthetic mixtures
+(training/vad.py) fills that role, with EnergyVAD as fallback.
+"""
+
+import numpy as np
+import pytest
+
+from freeze_omni_tpu.config import VADConfig
+from freeze_omni_tpu.duplex.vad import (DEFAULT_VAD_WEIGHTS, EnergyVAD,
+                                        LearnedVAD, make_vad)
+from freeze_omni_tpu.training import vad as tv
+
+
+def _auc(scores_pos, scores_neg):
+    """Rank-based ROC AUC."""
+    s = np.concatenate([scores_pos, scores_neg])
+    y = np.concatenate([np.ones_like(scores_pos), np.zeros_like(scores_neg)])
+    order = np.argsort(s)
+    ranks = np.empty_like(order, dtype=float)
+    ranks[order] = np.arange(1, len(s) + 1)
+    n_pos, n_neg = len(scores_pos), len(scores_neg)
+    return (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+
+class TestLearnedVAD:
+    def test_numpy_inference_matches_jax_training_forward(self):
+        """The numpy GRU in duplex/vad.py must be the exact twin of the JAX
+        forward used in training."""
+        import jax
+
+        rng = np.random.RandomState(3)
+        wav, _ = tv.make_mixture(rng)
+        feats = tv.features(wav)
+        vad = LearnedVAD(VADConfig())
+        params_j = {k: np.asarray(v) for k, v in vad.params.items()}
+        probs_jax = np.asarray(tv.forward(
+            {k: np.asarray(v) for k, v in params_j.items()}, feats))
+
+        # numpy replay (streaming, one shot)
+        p = vad.params
+        x = (feats - p["mean"]) * p["scale"]
+        h = np.zeros(p["wz"].shape[1], np.float32)
+        probs_np = []
+        for i in range(x.shape[0]):
+            xh = np.concatenate([x[i], h])
+            z = 1 / (1 + np.exp(-(xh @ p["wz"] + p["bz"])))
+            r = 1 / (1 + np.exp(-(xh @ p["wr"] + p["br"])))
+            xrh = np.concatenate([x[i], r * h])
+            hh = np.tanh(xrh @ p["wh"] + p["bh"])
+            h = (1 - z) * h + z * hh
+            probs_np.append(1 / (1 + np.exp(-(h @ p["wo"] + p["bo"])[0])))
+        np.testing.assert_allclose(probs_np, probs_jax, rtol=1e-4, atol=1e-5)
+
+    def test_purevad_contract_and_streaming(self):
+        """ipu_sl -> ipu_cl -> ipu_el over a synthetic speech burst, with
+        onset-replay cache; silence produces no status."""
+        cfg = VADConfig(chunk_size=512, min_silence_s=0.15)
+        vad = LearnedVAD(cfg)
+        rng = np.random.RandomState(0)
+        quiet = (0.002 * rng.randn(16000)).astype(np.float32)
+        speech = tv.synth_speech(np.random.RandomState(1), 16000) * 0.4
+
+        statuses = []
+        stream = np.concatenate([quiet[:4096], speech, quiet])
+        for i in range(0, len(stream) - 512 + 1, 512):
+            out = vad.predict({"audio": stream[i : i + 512],
+                               "time_stamp": i / 16000})
+            statuses.append(out["status"])
+            assert set(out) >= {"audio", "status", "cached_audio",
+                                "time_stamp"}
+        assert "ipu_sl" in statuses and "ipu_el" in statuses
+        sl = statuses.index("ipu_sl")
+        el = statuses.index("ipu_el")
+        assert el > sl
+        assert all(s == "ipu_cl" for s in statuses[sl + 1 : el])
+        assert all(s is None for s in statuses[:sl])
+
+        vad.reset()
+        assert not vad.in_speech and float(np.abs(vad.h).sum()) == 0.0
+
+    def test_roc_beats_energy_vad_on_heldout_mixtures(self):
+        """VERDICT r1 done-criterion: ROC comparison vs EnergyVAD on held-out
+        synthetic mixtures. The GRU must clearly win (nonstationary noise —
+        music swells, bursts — defeats an energy threshold)."""
+        rng = np.random.RandomState(999)  # held-out seed vs training seed 0
+        learned_pos, learned_neg = [], []
+        energy_pos, energy_neg = [], []
+        for _ in range(6):
+            wav, labels = tv.make_mixture(rng, seconds=2.0)
+            lv = LearnedVAD(VADConfig(chunk_size=512))
+            ev = EnergyVAD(VADConfig(chunk_size=512))
+            fl, fs = tv.VAD_FBANK.frame_length, tv.VAD_FBANK.frame_shift
+            for i in range(0, len(wav) - 512 + 1, 512):
+                chunk = wav[i : i + 512]
+                lp = lv._prob(chunk)
+                ep = ev._prob(chunk)
+                # chunk label: majority of overlapping frame labels
+                f0 = max(0, (i - fl + fs) // fs)
+                f1 = min(len(labels), (i + 512 - fl) // fs + 1)
+                if f1 <= f0:
+                    continue
+                lab = labels[f0:f1].mean() > 0.5
+                (learned_pos if lab else learned_neg).append(lp)
+                (energy_pos if lab else energy_neg).append(ep)
+        auc_l = _auc(np.asarray(learned_pos), np.asarray(learned_neg))
+        auc_e = _auc(np.asarray(energy_pos), np.asarray(energy_neg))
+        print(f"AUC learned={auc_l:.3f} energy={auc_e:.3f}")
+        assert auc_l > 0.93
+        assert auc_l > auc_e + 0.03
+
+    def test_make_vad_default_and_fallback(self):
+        v = make_vad(VADConfig())
+        assert isinstance(v, LearnedVAD)  # packaged weights exist
+        v2 = make_vad(VADConfig(kind="energy"))
+        assert type(v2) is EnergyVAD
+        v3 = make_vad(VADConfig(weights="/nonexistent/vad.npz"))
+        assert type(v3) is EnergyVAD  # graceful fallback
