@@ -122,12 +122,22 @@ def gqa_decode(q, k_cache, v_cache, length, use_pallas: Optional[bool] = None):
 # with an online-softmax (flash) accumulation — XLA's einsum path must read
 # the full S for every sequence regardless of its true length.
 #
-# Status: numerically verified in interpret mode (tests/test_ops.py) and
-# compiles+runs on the v5e chip, but benchmarking it there repeatedly wedged
-# the axon tunnel (device hangs on the next materialization after the kernel
-# runs — same intermittent hang also seen without pallas). Until the backend
-# stabilizes this stays un-wired; decode dispatch uses `decode_attention` /
-# the XLA reference.
+# Status: MEASURED AND CLOSED (round 2). Benchmarked on the v5e at Qwen2-7B
+# GQA serving shapes (B=8, H=28, Hkv=4, dk=128, bf16, block=256, 50 fused
+# iterations per dispatch, median of 5):
+#
+#   S=2048: L=256  xla 534us  pallas 582us  blocked 598us
+#           L=1024 xla 556us  pallas 585us  blocked 645us
+#           L=2048 xla 612us  pallas 819us  blocked 662us
+#   S=8192: L=1024 xla 644us  blocked 582us   (pallas full-VMEM: no compile)
+#           L=4096 xla 630us  blocked 748us
+#           L=8192 xla 651us  blocked 1028us
+#
+# The blocked kernel's only win is ~10% at S=8192 with a 1/8-full cache; it
+# LOSES at larger fills (per-block DMA turnaround beats XLA's streamed full-S
+# read). At this framework's serving capacity (S<=2048 with the sliding-KV
+# roll keeping sessions compact) XLA wins everywhere, so the kernels stay
+# opt-in reference implementations and the decode dispatch uses the XLA path.
 # ---------------------------------------------------------------------------
 
 
