@@ -57,11 +57,12 @@ def _llm_footprint(params):
     return nbytes, nparams
 
 
-def throughput_bench(cfg, args, params):
+def throughput_detail(cfg, args, params, trials=None):
     """Decode throughput + hardware utilization: tokens/s for B=1 and B=8
     batched decode, HBM-bandwidth utilization (decode is weight-read bound)
     and MFU. The reference has no batched decode at all (one replica per GPU,
-    bin/pool.py)."""
+    bin/pool.py). Returns the detail dict (shared by --mode throughput and
+    the default latency artifact)."""
     from freeze_omni_tpu.models import audio_llm, qwen2
 
     acfg = cfg.audio_llm
@@ -83,7 +84,7 @@ def throughput_bench(cfg, args, params):
         np.asarray(toks)
         log(f"B={B} compile {time.time()-t0:.1f}s")
         times = []
-        for i in range(args.trials):
+        for i in range(trials if trials is not None else args.trials):
             t0 = time.perf_counter()
             toks, _, _, kv = gen(params, acfg, tok0, kv,
                                  jax.random.PRNGKey(2 + i), sampling,
@@ -98,24 +99,29 @@ def throughput_bench(cfg, args, params):
     step_ms, tok_s = out[1]
     bw_util = (nbytes / (step_ms / 1e3)) / 1e9 / V5E_HBM_GBS
     mfu_b8 = 2.0 * nparams * out[8][1] / V5E_PEAK_BF16
+    return {
+        "llm_layers": acfg.llm.num_layers,
+        "weights_gib": round(nbytes / 2**30, 2),
+        "b1_ms_per_token": round(out[1][0], 2),
+        "b1_tokens_per_s": round(out[1][1], 1),
+        "b8_ms_per_step": round(out[8][0], 2),
+        "b8_tokens_per_s": round(out[8][1], 1),
+        "b1_hbm_bw_utilization": round(bw_util, 3),
+        "b8_mfu": round(mfu_b8, 4),
+        "note": "decode is HBM-bound: b1 BW utilization is the "
+                "speed-of-light measure; MFU at B=8 shows batching "
+                "amortizes weight reads. Reference has no batched decode.",
+    }
+
+
+def throughput_bench(cfg, args, params):
+    d = throughput_detail(cfg, args, params)
     print(json.dumps({
         "metric": "decode_tokens_per_s",
-        "value": round(out[8][1], 1),
+        "value": d["b8_tokens_per_s"],
         "unit": "tok/s",
         "vs_baseline": None,
-        "detail": {
-            "llm_layers": acfg.llm.num_layers,
-            "weights_gib": round(nbytes / 2**30, 2),
-            "b1_ms_per_token": round(out[1][0], 2),
-            "b1_tokens_per_s": round(out[1][1], 1),
-            "b8_ms_per_step": round(out[8][0], 2),
-            "b8_tokens_per_s": round(out[8][1], 1),
-            "b1_hbm_bw_utilization": round(bw_util, 3),
-            "b8_mfu": round(mfu_b8, 4),
-            "note": "decode is HBM-bound: b1 BW utilization is the "
-                    "speed-of-light measure; MFU at B=8 shows batching "
-                    "amortizes weight reads. Reference has no batched decode.",
-        },
+        "detail": d,
     }))
 
 
@@ -267,6 +273,11 @@ def main():
                    choices=["latency", "serving", "load", "throughput"])
     p.add_argument("--streams", type=int, default=8,
                    help="concurrent duplex sessions for --mode serving")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler trace of one post-warmup "
+                        "latency trial into LOGDIR (inspect in TensorBoard; "
+                        "device_span annotations line up host/device "
+                        "timelines)")
     p.add_argument("--quant", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="int8 weight-only LLM (default; --no-quant = bf16, "
@@ -393,6 +404,14 @@ def main():
     fast_trial(caches, jax.random.PRNGKey(101))
     log(f"warmup done in {time.time()-t0:.1f}s")
 
+    if args.profile:
+        from freeze_omni_tpu.utils.logging import profile_trace
+
+        log(f"profiling one trial into {args.profile}")
+        with profile_trace(args.profile):
+            one_trial(caches, jax.random.PRNGKey(150), timed=False)
+            fast_trial(caches, jax.random.PRNGKey(151))
+
     lat = []
     fast_lat = []
     for i in range(args.trials):
@@ -408,6 +427,10 @@ def main():
     p50 = min(p50_staged, p50_fused)
     p50_text = float(np.median([m["first_text_chunk_ms"] for m in lat]))
     full_depth = acfg.llm.num_layers == 28 and args.preset == "bench"
+    # throughput + hardware utilization ride the same artifact (VERDICT r1
+    # next #3): decode tok/s at B=1/B=8, HBM-BW utilization, MFU
+    log("throughput/MFU measurement...")
+    tput = throughput_detail(cfg, args, params, trials=max(3, args.trials))
     print(json.dumps({
         "metric": "p50_speech_to_first_audio",
         "value": round(p50, 1),
@@ -422,6 +445,7 @@ def main():
             "llm_layers": acfg.llm.num_layers,
             "full_depth_7b": full_depth,
             "llm_weights": "int8 weight-only" if args.quant else "bf16",
+            "throughput": tput,
             "note": "vs_baseline = ours/reference (<1 is faster), reported "
                     "only at the full 28-layer Qwen2-7B depth; fused = "
                     "one-dispatch first response (runtime/fastpath.py)",

@@ -22,6 +22,7 @@ import numpy as np
 from ..config import SystemConfig
 from ..models import audio_llm, qwen2
 from ..pipeline import _Core
+from ..utils.logging import device_span
 from .session import SessionStore
 
 IDENTITIES = ("user", "system")
@@ -142,10 +143,11 @@ class ServingEngine:
                 is_sl[slot] = sl
             prefix = (self.core.user_prefix_embeds if identity == "user"
                       else self.core.system_prefix_embeds)
-            probs, caches = self._recognize(
-                self.core.params, self.cfg.audio_llm, identity,
-                jnp.asarray(chunks), jnp.asarray(is_sl), prefix,
-                self.store.caches, active=jnp.asarray(active))
+            with device_span(f"tick/{identity}"):
+                probs, caches = self._recognize(
+                    self.core.params, self.cfg.audio_llm, identity,
+                    jnp.asarray(chunks), jnp.asarray(is_sl), prefix,
+                    self.store.caches, active=jnp.asarray(active))
             self.store.caches = caches
             if identity == "user":
                 probs = np.asarray(probs)
@@ -218,38 +220,56 @@ class ServingEngine:
         session's context to the first PCM chunk (runtime/fastpath.py — each
         host sync costs ~55ms through the tunnel while TTS compute is ~1.4ms).
         Returns (pcm24k [1,1,n], text_token_ids list, sentence-unaligned)."""
-        import numpy as np
+        out = self.respond_fast_many([sid], tts_params, n_text=n_text, rng=rng)
+        return out[sid]
 
+    def respond_fast_many(self, sids: List[str], tts_params: dict,
+                          n_text: int = 8, rng=None) -> Dict[str, tuple]:
+        """Batched fast responses: every session that decided to speak this
+        tick rides ONE fused dispatch (first_response at batch B) instead of
+        serializing per-session generations on the tick thread. B is padded up
+        to a power of two so the compile count stays bounded; padded rows
+        reuse the first session's KV and are discarded. Returns
+        {sid: (pcm24k [1,1,n], text_token_ids list)}."""
         from . import fastpath
 
-        self._maybe_roll_kv()  # capacity headroom before appending a response
+        if not sids:
+            return {}
+        self._maybe_roll_kv()  # capacity headroom before appending responses
         core = self.core
         cfg = self.cfg
-        slot = self.store.slot_of(sid)
-        kv = self.store.gather_kv(slot)
-        gt = jnp.asarray(np.array(cfg.tts.codec.global_tokens,
-                                  np.int32)[None, None])
-        ids = jnp.asarray(core.chat.system_prefix_ids)[None]
+        slots = [self.store.slot_of(s) for s in sids]
+        n = len(slots)
+        B = 1 << (n - 1).bit_length()          # bucket: next power of two
+        kv = self.store.gather_kv_many(slots + [slots[0]] * (B - n))
+        gt = jnp.tile(jnp.asarray(np.array(cfg.tts.codec.global_tokens,
+                                           np.int32)[None, None]), (B, 1, 1))
+        ids = jnp.tile(jnp.asarray(core.chat.system_prefix_ids)[None], (B, 1))
         chunk = cfg.tts.codec_chunk_size
         padding = cfg.tts.codec_padding_size
         n_codec = chunk + padding
-        pcm, toks, done, ctoks, n_valid, kv = fastpath.first_response(
-            core.params, tts_params, cfg.audio_llm, cfg.tts.decoder,
-            cfg.tts.codec, ids, kv,
-            rng if rng is not None else core.next_key(), cfg.sampling,
-            n_text=n_text, n_codec=n_codec, top_k=cfg.tts.top_k,
-            eod_id=core.tokenizer.eod_id, global_tokens=gt,
-            penalty_window=cfg.tts.penalty_window_size,
-            penalty=cfg.tts.penalty)
-        self.store.scatter_kv(slot, kv)  # stays on-device (no host sync)
+        with device_span(f"respond_fast/b{B}"):
+            pcm, toks, done, ctoks, n_valid, kv = fastpath.first_response(
+                core.params, tts_params, cfg.audio_llm, cfg.tts.decoder,
+                cfg.tts.codec, ids, kv,
+                rng if rng is not None else core.next_key(), cfg.sampling,
+                n_text=n_text, n_codec=n_codec, top_k=cfg.tts.top_k,
+                eod_id=core.tokenizer.eod_id, global_tokens=gt,
+                penalty_window=cfg.tts.penalty_window_size,
+                penalty=cfg.tts.penalty)
+        # stays on-device (no host sync); padded rows are not written back
+        self.store.scatter_kv_many(slots, kv)
         pcm_np, toks_np, nv = jax.device_get((pcm, toks, n_valid))  # ONE sync
-        # reference emission semantics (llm2tts.py:140-160): an eos inside the
-        # block makes this the final chunk (emit every valid token's samples);
-        # otherwise trim the right look-ahead padding
-        nv = int(nv[0])
-        emit_tokens = nv if nv < n_codec else n_codec - padding
-        pcm_np = pcm_np[:, :, : emit_tokens * cfg.tts.codec.upsample_rate]
-        return pcm_np, [int(t) for t in toks_np[0]]
+        out = {}
+        for i, sid in enumerate(sids):
+            # reference emission semantics (llm2tts.py:140-160): an eos inside
+            # the block makes this the final chunk (emit every valid token's
+            # samples); otherwise trim the right look-ahead padding
+            nvi = int(nv[i])
+            emit_tokens = nvi if nvi < n_codec else n_codec - padding
+            pcm_i = pcm_np[i:i + 1, :, : emit_tokens * cfg.tts.codec.upsample_rate]
+            out[sid] = (pcm_i, [int(t) for t in toks_np[i]])
+        return out
 
 
 class TTSPool:

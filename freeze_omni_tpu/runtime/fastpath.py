@@ -39,14 +39,17 @@ def first_response(params, tts_params, acfg: AudioLLMConfig,
                    n_text: int, n_codec: int, top_k: int, eod_id: int,
                    global_tokens, penalty_window: int = 10,
                    penalty: float = 1.1):
-    """Returns (pcm [1, 1, samples], text_tokens [1, n_text+1], text_done [1],
-    codec_tokens [1, n_codec], n_valid_codec [1], kv). One device dispatch
-    end-to-end. The PCM length is static; callers trim host-side to
+    """Returns (pcm [B, 1, samples], text_tokens [B, n_text+1], text_done [B],
+    codec_tokens [B, n_codec], n_valid_codec [B], kv). One device dispatch
+    end-to-end; B > 1 batches concurrently-speaking sessions into the same
+    dispatch (assistant_ids [B, T], kv batch B, global_tokens [B, 1, G]).
+    The PCM length is static; callers trim host-side to
     n_valid_codec (minus the look-ahead padding when no eos fired) — matching
     the reference's eos stop + right-padding trim (llm2tts.py:140-160).
     penalty_window/penalty: the repetition penalty the reference applies in
     its codec decode loop (decoder.py:349-351); window 10 is its default."""
     k1, k2 = jax.random.split(rng)
+    B = assistant_ids.shape[0]
 
     # 1) text: prefill assistant prefix + first segment, all on-device
     toks, hiddens, done, kv = audio_llm.prefill_and_generate(
@@ -55,16 +58,16 @@ def first_response(params, tts_params, acfg: AudioLLMConfig,
 
     # 2) re-embed the generated tokens; fold 3584-dim frames to decoder idim
     #    (bin/inference.py:86-90 reshape semantics)
-    emb = qwen2.embed_tokens(params["llm"], toks)          # [1, n, D]
-    emb = emb.astype(jnp.float32).reshape(1, -1, dcfg.idim)
-    prefix = hiddens.astype(jnp.float32).reshape(1, -1, dcfg.idim)
+    emb = qwen2.embed_tokens(params["llm"], toks)          # [B, n, D]
+    emb = emb.astype(jnp.float32).reshape(B, -1, dcfg.idim)
+    prefix = hiddens.astype(jnp.float32).reshape(B, -1, dcfg.idim)
 
     # 3) speech decoder preamble (pre-NN + prefix-KV + [bos, hidden] prefill)
     pre = sd.pre_nn(tts_params["decoder"], dcfg, emb)
     bos = sd.embedding(tts_params["decoder"]["embedding"],
-                       jnp.full((1, 1), dcfg.bos_id))
+                       jnp.full((B, 1), dcfg.bos_id))
     block = jnp.concatenate([bos, pre], axis=1)
-    cache = sd.init_cache(dcfg, 1)
+    cache = sd.init_cache(dcfg, B)
     if dcfg.use_prefix_kv:
         cache = sd.prefix_prefill(tts_params["decoder"], dcfg, prefix,
                                   jnp.ones(prefix.shape[:2], bool), cache)

@@ -130,11 +130,18 @@ class DuplexService:
                     submitted[sid] = feat
 
         results = self.engine.tick()
+        respondents: List[str] = []
         for sid, feat in submitted.items():
             pred = results.get("user", {}).get(self.engine.store.slot_of(sid))
             if pred is None:
                 continue
-            self._decide(self.sessions[sid], feat, pred)
+            if self._decide(self.sessions[sid], feat, pred):
+                respondents.append(sid)
+        if respondents:
+            # all sessions that decided to speak this tick share ONE fused
+            # dispatch (engine.respond_fast_many) instead of serial per-session
+            # generations on the tick thread
+            self._respond_fast_many(respondents)
         return worked
 
     # ------------------------------------------------------------------
@@ -182,16 +189,18 @@ class DuplexService:
                 "status": st, "feature": np.asarray(f, np.float32),
                 "ipu_id": getattr(fe.current_ipu[identity], "id", None)})
 
-    def _decide(self, fe: _SessionFrontend, feat: dict, pred: dict) -> None:
+    def _decide(self, fe: _SessionFrontend, feat: dict, pred: dict) -> bool:
+        """Returns True when the session should speak (the caller batches all
+        respondents of this tick into one device dispatch)."""
         ts = feat["time_stamp"]
         decision = "dialog_cl"
+        respond = False
         if pred["state_1"] > self.resp_threshold:
             decision = "dialog_ss"
             fe.sink.emit("dialog_ss_callback", {
                 "ipu_id": feat.get("ipu_id"), "state_1": pred["state_1"],
                 "time_stamp": ts})
-            if self.tts_params is not None:
-                self._respond_fast(fe)
+            respond = self.tts_params is not None
         elif pred["state_2"] > self.resp_threshold:
             decision = "dialog_el"
         fe.sink.emit("dialog_state_update", {
@@ -200,10 +209,20 @@ class DuplexService:
         if handle is not None:
             handle.register_response_state(
                 {"time_stamp": ts, "decision": decision, **pred})
+        return respond
 
-    def _respond_fast(self, fe: _SessionFrontend) -> None:
+    def _respond_fast_many(self, sids: List[str]) -> None:
+        from ..frontend.wav import resample
+
         try:
-            pcm24, toks = self.engine.respond_fast(fe.sid, self.tts_params)
+            out = self.engine.respond_fast_many(sids, self.tts_params)
+        except Exception as e:
+            for sid in sids:
+                self.sessions[sid].sink.emit(
+                    "error", {"where": "respond_fast", "message": str(e)})
+            return
+        for sid, (pcm24, toks) in out.items():
+            fe = self.sessions[sid]
             fe.sink.emit("response_text",
                          {"text": self.engine.core.tokenizer.decode(
                              [t for t in toks
@@ -211,9 +230,5 @@ class DuplexService:
             fe.sink.emit("response_audio",
                          {"pcm": pcm24[0, 0],
                           "sr": self.cfg.tts.codec.sample_rate})
-            from ..frontend.wav import resample
-
             pcm16 = resample(pcm24[0, 0], self.cfg.tts.codec.sample_rate, 16000)
             self.enqueue_audio_data(fe.sid, "system", {"audio": pcm16})
-        except Exception as e:
-            fe.sink.emit("error", {"where": "respond_fast", "message": str(e)})

@@ -123,3 +123,30 @@ class SessionStore:
     def scatter_kv(self, slot: int, kv: qwen2.KVCache) -> None:
         row = self.gather_slot(slot)._replace(kv=kv)
         self.scatter_slot(slot, row)
+
+    def gather_kv_many(self, slots: List[int]) -> qwen2.KVCache:
+        """Extract several sessions' LLM KV rows as one batch-B KVCache (for
+        batched response generation across concurrently-speaking sessions)."""
+        idx = jnp.asarray(slots)
+        kv = self.caches.kv
+        kv_axes = qwen2.KVCache(k=1, v=1, length=0)
+        return jax.tree.map(lambda leaf, ax: jnp.take(leaf, idx, axis=ax),
+                            kv, kv_axes)
+
+    def scatter_kv_many(self, slots: List[int], kv: qwen2.KVCache) -> None:
+        """Write batch-B KV rows back into their slots. `kv` may carry MORE
+        rows than `slots` (bucket padding); only the first len(slots) rows
+        land."""
+        idx = np.asarray(slots)
+        n = len(slots)
+        kv_axes = qwen2.KVCache(k=1, v=1, length=0)
+
+        def put(new, full, ax):
+            take = jax.lax.slice_in_dim(new, 0, n, axis=ax)
+            moved = jnp.moveaxis(full, ax, 0)
+            moved = moved.at[idx].set(
+                jnp.moveaxis(take, ax, 0).astype(full.dtype))
+            return jnp.moveaxis(moved, 0, ax)
+
+        new_kv = jax.tree.map(put, kv, self.caches.kv, kv_axes)
+        self.caches = self.caches._replace(kv=new_kv)

@@ -16,6 +16,7 @@ from freeze_omni_tpu.models import qwen2
 from freeze_omni_tpu.utils import checkpoint as ckpt
 
 
+@pytest.mark.slow
 class TestQwen2HFParity:
     """Our backbone must reproduce transformers' Qwen2 forward numerically."""
 

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from freeze_omni_tpu.config import CodecConfig
 from freeze_omni_tpu.models import codec as codec_mod
@@ -17,6 +18,7 @@ def _cfg():
     )
 
 
+@pytest.mark.slow
 class TestDiscriminators:
     def test_run_discriminators_shapes(self):
         params = gan.init_discriminators(jax.random.PRNGKey(0))
@@ -55,6 +57,7 @@ class TestDiscriminators:
         assert abs(float(loss) - 1.25) < 1e-6  # 1.0*1 + 0.25*1
 
 
+@pytest.mark.slow
 class TestGanStep:
     def test_one_step_updates_generator(self):
         cfg = _cfg()

@@ -106,6 +106,7 @@ class TestIPUHandle:
         assert h.response_states[0]["decision"] == "dialog_ss"
 
 
+@pytest.mark.slow
 class TestDuplexSession:
     def test_end_to_end_session(self):
         cfg = tiny_system()

@@ -65,6 +65,7 @@ def _oracle_stream(params, cfg, chunks):
 
 
 class TestStreamingEncoder:
+    @pytest.mark.slow
     def test_static_stream_matches_dynamic_oracle(self):
         cfg = _cfg()
         key = jax.random.PRNGKey(0)

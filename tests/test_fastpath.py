@@ -3,6 +3,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from freeze_omni_tpu.config import tiny_system
 from freeze_omni_tpu.models import audio_llm, codec as codec_mod, qwen2
@@ -49,6 +50,7 @@ class TestFastPath:
         # token is only written when generation continues)
         assert int(kv2.length[0]) == base + 3 + 7
 
+    @pytest.mark.slow
     def test_fastpath_matches_staged_decode_exactly(self):
         """Reference decode semantics in the fused path (VERDICT r1 weak #5):
         replaying the SAME rng split through the staged ops — text segment,
@@ -123,3 +125,101 @@ class TestFastPath:
         assert pcm.ndim == 3 and pcm.shape[2] > 0
         assert len(toks) == 7
         assert engine.store.kv_length(slot) > before
+
+    def test_store_gather_scatter_many_roundtrip(self):
+        """gather_kv_many/scatter_kv_many move batched KV rows exactly, and
+        extra bucket-padding rows in the scattered batch are discarded."""
+        from freeze_omni_tpu.runtime.session import SessionStore
+
+        sys_cfg = tiny_system()
+        store = SessionStore(sys_cfg.audio_llm, 4)
+        for sid in ("a", "b", "c"):
+            store.alloc(sid)
+        slots = [store.slot_of(s) for s in ("a", "b", "c")]
+        kv = store.gather_kv_many(slots)
+        axes = type(kv)(k=1, v=1, length=0)  # batch axis per leaf
+        assert kv.k.shape[1] == 3 and kv.length.shape[0] == 3
+        # perturb the gathered rows + append a poison padding row, scatter back
+        poison = jax.tree.map(
+            lambda x, ax: jnp.full_like(jax.lax.slice_in_dim(x, 0, 1, axis=ax),
+                                        99), kv, axes)
+        kv2 = jax.tree.map(lambda a, b, ax: jnp.concatenate([a, b], axis=ax) + 1,
+                           kv, poison, axes)
+        store.scatter_kv_many(slots, kv2)
+        for i, s in enumerate(("a", "b", "c")):
+            row = store.gather_kv(store.slot_of(s))
+            np.testing.assert_array_equal(
+                np.asarray(row.k)[:, 0], np.asarray(kv.k)[:, i] + 1)
+            assert int(row.length[0]) == int(kv.length[i]) + 1
+        # the 4th (poison, 100 after +1) row landed nowhere
+        all_k = np.asarray(store.caches.kv.k)
+        assert not (all_k == 100).any()
+
+    def test_engine_respond_fast_many_matches_manual_batch(self):
+        """Batched fast responses (VERDICT r1 weak #7): sessions that decide
+        to speak in the same tick ride one fused dispatch. The engine call at
+        bucket B=4 (3 respondents + 1 pad row reusing the first slot's KV)
+        must reproduce a hand-built batch-4 first_response exactly — same
+        tokens, same trimmed PCM — and scatter each respondent's advanced KV
+        row (not the pad row) back into its slot.
+
+        (Exact solo==batched parity is impossible by design: JAX random bits
+        are shape-dependent, so a [4,V] categorical draw differs from [1,V]
+        even at the same key.)"""
+        from freeze_omni_tpu.models import codec as codec_mod
+        from freeze_omni_tpu.models import speech_decoder as sd
+        from freeze_omni_tpu.runtime.engine import ServingEngine
+
+        sys_cfg = tiny_system()
+        sys_cfg = dataclasses.replace(
+            sys_cfg,
+            serving=dataclasses.replace(sys_cfg.serving, max_sessions=4))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+        tts_params = {"decoder": sd.init_params(k1, sys_cfg.tts.decoder),
+                      "codec": codec_mod.init_params(k2, sys_cfg.tts.codec)}
+        rng = jax.random.PRNGKey(11)
+        rs = np.random.RandomState(0)
+
+        engine = ServingEngine(sys_cfg, seed=0)
+        sids = ["a", "b", "c"]
+        for i, sid in enumerate(sids):  # distinct contexts per session
+            engine.open_session(sid)
+            engine.submit_chunk(
+                sid, "user", rs.randn(1, 32, 80).astype(np.float32),
+                is_sl=True)
+        engine.tick()
+        slots = [engine.store.slot_of(s) for s in sids]
+        lengths_before = [engine.store.kv_length(s) for s in slots]
+
+        # hand-built batch: the same bucket layout the engine uses
+        kv_in = engine.store.gather_kv_many(slots + [slots[0]])
+        acfg = sys_cfg.audio_llm
+        gt = jnp.tile(jnp.asarray(np.array(sys_cfg.tts.codec.global_tokens,
+                                           np.int32)[None, None]), (4, 1, 1))
+        ids = jnp.tile(
+            jnp.asarray(engine.core.chat.system_prefix_ids)[None], (4, 1))
+        n_codec = sys_cfg.tts.codec_chunk_size + sys_cfg.tts.codec_padding_size
+        pcm_m, toks_m, _, _, nv_m, kv_m = fastpath.first_response(
+            engine.core.params, tts_params, acfg, sys_cfg.tts.decoder,
+            sys_cfg.tts.codec, ids, kv_in, rng, sys_cfg.sampling,
+            n_text=6, n_codec=n_codec, top_k=sys_cfg.tts.top_k,
+            eod_id=engine.core.tokenizer.eod_id, global_tokens=gt,
+            penalty_window=sys_cfg.tts.penalty_window_size,
+            penalty=sys_cfg.tts.penalty)
+
+        out = engine.respond_fast_many(sids, tts_params, n_text=6, rng=rng)
+        assert set(out) == set(sids)
+        up = sys_cfg.tts.codec.upsample_rate
+        padding = sys_cfg.tts.codec_padding_size
+        for i, sid in enumerate(sids):
+            pcm_i, toks_i = out[sid]
+            assert toks_i == [int(t) for t in np.asarray(toks_m)[i]]
+            nvi = int(nv_m[i])
+            emit = nvi if nvi < n_codec else n_codec - padding
+            np.testing.assert_allclose(
+                pcm_i, np.asarray(pcm_m)[i:i + 1, :, : emit * up], atol=1e-5)
+            # the advanced KV row (not the pad row) landed in the slot
+            row = engine.store.gather_kv(slots[i])
+            np.testing.assert_array_equal(np.asarray(row.k)[:, 0],
+                                          np.asarray(kv_m.k)[:, i])
+            assert engine.store.kv_length(slots[i]) > lengths_before[i]

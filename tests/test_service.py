@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from freeze_omni_tpu.config import tiny_system
 from freeze_omni_tpu.runtime.service import DuplexService
@@ -44,6 +45,7 @@ class TestDuplexService:
         svc.close_session("a")
         assert svc.engine.num_active == 1
 
+    @pytest.mark.slow
     def test_service_fast_response_closes_loop(self):
         """With tts_params attached and threshold 0, a user chunk triggers the
         one-dispatch fast response whose audio re-enters as system input."""

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from freeze_omni_tpu.config import (AdapterConfig, AudioLLMConfig,
                                     EncoderConfig, LLMConfig,
@@ -26,6 +27,7 @@ def _cfgs():
 
 
 class TestTraining:
+    @pytest.mark.slow
     def test_loss_decreases_over_steps(self):
         """The full train step (state-head CE through the frozen LLM +
         speech-decoder CE, adamw) must fit a fixed synthetic batch."""
