@@ -49,6 +49,9 @@ def transcribe(pipeline, chunker, wav: np.ndarray, max_tokens: int) -> str:
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="CER/WER evaluation harness")
     p.add_argument("--preset", default="flagship", choices=["tiny", "flagship"])
     p.add_argument("--model_path", default=None,

@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="TiCodec round-trip harness")
     p.add_argument("--preset", default="flagship", choices=["tiny", "flagship"])
     p.add_argument("--input_wav", required=True)

@@ -164,6 +164,9 @@ def run_inference(cfg: SystemConfig, args, pipeline=None, tts_params=None):
 
 
 def main():
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     args = get_args()
     cfg = tiny_system() if args.preset == "tiny" else flagship_system()
     import dataclasses

@@ -271,6 +271,9 @@ def _jsonable(payload: dict) -> dict:
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     args = get_args(argv)
     asyncio.run(Server(args).run())
 

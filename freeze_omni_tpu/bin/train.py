@@ -38,6 +38,9 @@ def get_args(argv=None):
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     args = get_args(argv)
     from ..config import flagship_system, tiny_system
     from ..models import audio_llm

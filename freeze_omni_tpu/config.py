@@ -373,6 +373,13 @@ class DuplexConfig:
     default_prompt: str = (
         "Start new response if the user provided new information or gave new instructions."
     )
+    # multi-sentence response continuation in the batched service: after the
+    # fused first chunk, continuing sessions advance resp_segment text tokens
+    # per tick (batched across sessions) up to resp_max_tokens total
+    # (DuplexResponder defaults mirrored; reference generates per 8-token
+    # segments until eos, bin/inference.py:160-183)
+    resp_segment: int = 16
+    resp_max_tokens: int = 64
 
 
 @dataclass(frozen=True)

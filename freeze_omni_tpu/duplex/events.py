@@ -26,6 +26,7 @@ class EventSink:
         "audio_rebroadcast",   # {'identity', 'audio', 'time_stamp'}
         "response_text",       # {'text', 'time_stamp'} (responder sentences)
         "response_audio",      # {'pcm', 'sr', 'time_stamp'} (responder speech)
+        "response_interrupted",  # {'time_stamp'} user barge-in cancelled TTS
         "kv_roll",             # {'identity', 'kept_recent', 'time_stamp'}
         "error",               # {'where', 'message'}
     )

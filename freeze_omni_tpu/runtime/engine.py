@@ -77,6 +77,7 @@ class ServingEngine:
         self._role_kv_cache: Dict[str, qwen2.KVCache] = {}
         self._slot_role: Dict[int, str] = {}
         self._roll = None  # jitted qwen2.roll_kv, built on first use
+        self._gen = None   # jitted generate_segment, built on first use
 
     # ------------------------------------------------------------------
     # session management
@@ -269,6 +270,47 @@ class ServingEngine:
             emit_tokens = nvi if nvi < n_codec else n_codec - padding
             pcm_i = pcm_np[i:i + 1, :, : emit_tokens * cfg.tts.codec.upsample_rate]
             out[sid] = (pcm_i, [int(t) for t in toks_np[i]])
+        return out
+
+
+    def continue_segments(self, last_tokens: Dict[str, int],
+                          n_steps: int = 16, rng=None
+                          ) -> Dict[str, Tuple[list, np.ndarray, bool]]:
+        """Advance every continuing response by one batched text segment:
+        {sid: last_generated_token} -> {sid: (new_tokens, hiddens [n, D]
+        float32, done)}. ONE generate_segment dispatch serves all continuing
+        sessions (pow-2 bucketed like respond_fast_many); each session's KV
+        row advances in place. `done` = the segment hit eod (tokens after it
+        repeat eod and are not written to the cache)."""
+        if not last_tokens:
+            return {}
+        self._maybe_roll_kv()
+        sids = list(last_tokens)
+        slots = [self.store.slot_of(s) for s in sids]
+        n = len(slots)
+        B = 1 << (n - 1).bit_length()
+        kv = self.store.gather_kv_many(slots + [slots[0]] * (B - n))
+        tok0 = jnp.asarray([last_tokens[s] for s in sids]
+                           + [last_tokens[sids[0]]] * (B - n), jnp.int32)
+        if self._gen is None:
+            self._gen = jax.jit(
+                audio_llm.generate_segment,
+                static_argnames=("cfg", "sampling", "n_steps", "eod_id"))
+        eod = self.core.tokenizer.eod_id
+        with device_span(f"continue/b{B}"):
+            toks, hiddens, done, kv = self._gen(
+                self.core.params, self.cfg.audio_llm, tok0, kv,
+                rng if rng is not None else self.core.next_key(),
+                self.cfg.sampling, n_steps=n_steps, eod_id=eod)
+        self.store.scatter_kv_many(slots, kv)
+        toks_np, hid_np, done_np = jax.device_get((toks, hiddens, done))
+        hid_np = np.asarray(hid_np, np.float32)
+        out = {}
+        for i, sid in enumerate(sids):
+            seg = [int(t) for t in toks_np[i]]
+            if bool(done_np[i]) and eod in seg:
+                seg = seg[: seg.index(eod) + 1]
+            out[sid] = (seg, hid_np[i, : len(seg)], bool(done_np[i]))
         return out
 
 

@@ -49,6 +49,10 @@ class _SessionFrontend:
         self.current_ipu: Dict[str, Optional[IPUHandle]] = {
             i: None for i in IDENTITIES}
         self.first_chunk_sent = {i: False for i in IDENTITIES}
+        # in-flight multi-sentence response: {'last': int (token to continue
+        # from), 'n': tokens generated so far, 'toks': sentence buffer,
+        # 'hids': [[1,1,D] float32]} — None when not speaking
+        self.resp: Optional[dict] = None
 
 
 class DuplexService:
@@ -63,6 +67,17 @@ class DuplexService:
         self._lock = threading.Lock()
         self.resp_threshold = cfg.duplex.resp_threshold
         self.tts_params = tts_params
+        self._synth = None
+        if tts_params is not None:
+            # sentence-level synthesis for response continuation reuses the
+            # solo responder's text->speech stage (post_process + re-embed +
+            # StreamingTTS with the sentence's hidden-state prefix)
+            from ..duplex.responder import DuplexResponder
+            from ..tts import StreamingTTS
+
+            self._synth = DuplexResponder(
+                self.engine.core, StreamingTTS(tts_params, cfg.tts, seed=seed),
+                cfg)
 
     # ------------------------------------------------------------------
 
@@ -142,6 +157,8 @@ class DuplexService:
             # dispatch (engine.respond_fast_many) instead of serial per-session
             # generations on the tick thread
             self._respond_fast_many(respondents)
+        if self._continue_responses():
+            worked = True
         return worked
 
     # ------------------------------------------------------------------
@@ -159,6 +176,12 @@ class DuplexService:
             if identity == "user":
                 for outlet in fe.user_ipu_outlets:
                     outlet(handle)
+                if fe.resp is not None:
+                    # barge-in: user speech onset cancels the in-flight
+                    # response continuation (the reference interrupts the LLM
+                    # on user input — "LLM interrupted", BASELINE.md span)
+                    fe.resp = None
+                    fe.sink.emit("response_interrupted", {"time_stamp": ts})
             handle.add_chunk(ann["audio"], ts)
         elif status in ("ipu_cl", "ipu_el"):
             handle = fe.current_ipu[identity]
@@ -221,14 +244,87 @@ class DuplexService:
                 self.sessions[sid].sink.emit(
                     "error", {"where": "respond_fast", "message": str(e)})
             return
+        eod = self.engine.core.tokenizer.eod_id
         for sid, (pcm24, toks) in out.items():
             fe = self.sessions[sid]
             fe.sink.emit("response_text",
                          {"text": self.engine.core.tokenizer.decode(
-                             [t for t in toks
-                              if t != self.engine.core.tokenizer.eod_id])})
+                             [t for t in toks if t != eod])})
             fe.sink.emit("response_audio",
                          {"pcm": pcm24[0, 0],
                           "sr": self.cfg.tts.codec.sample_rate})
             pcm16 = resample(pcm24[0, 0], self.cfg.tts.codec.sample_rate, 16000)
+            self.enqueue_audio_data(fe.sid, "system", {"audio": pcm16})
+            # register continuation: the fast path spoke the first segment;
+            # later sentences advance batched across ticks until eod/cap
+            if toks and toks[-1] != eod and \
+                    len(toks) < self.cfg.duplex.resp_max_tokens:
+                fe.resp = {"last": toks[-1], "n": len(toks),
+                           "toks": [], "hids": []}
+            else:
+                fe.resp = None
+
+    def _continue_responses(self) -> bool:
+        """One batched text segment for every session mid-response; completed
+        sentences are synthesized and emitted, eod/cap ends the response.
+        Returns True when any session advanced."""
+        with self._lock:
+            sessions = dict(self.sessions)
+        cont = {sid: fe.resp["last"] for sid, fe in sessions.items()
+                if fe.resp is not None}
+        if not cont:
+            return False
+        try:
+            out = self.engine.continue_segments(
+                cont, n_steps=self.cfg.duplex.resp_segment)
+        except Exception as e:
+            for sid in cont:
+                sessions[sid].sink.emit(
+                    "error", {"where": "continue_response", "message": str(e)})
+                sessions[sid].resp = None
+            return True
+        eod = self.engine.core.tokenizer.eod_id
+        from ..duplex.responder import SENTENCE_SUFFIXES
+
+        for sid, (toks, hids, done) in out.items():
+            fe = sessions[sid]
+            r = fe.resp
+            if r is None:  # barge-in cleared it mid-flight
+                continue
+            for j, t in enumerate(toks):
+                r["n"] += 1
+                if t != eod:
+                    r["toks"].append(t)
+                    r["hids"].append(hids[j][None, None, :])
+                piece = (self.engine.core.tokenizer.decode([t])
+                         if t != eod else "")
+                if piece.endswith(SENTENCE_SUFFIXES) or t == eod:
+                    self._emit_sentence(fe)
+            r["last"] = toks[-1] if toks else eod
+            if done or r["n"] >= self.cfg.duplex.resp_max_tokens:
+                self._emit_sentence(fe)  # flush any unterminated tail
+                fe.resp = None
+        return True
+
+    def _emit_sentence(self, fe: _SessionFrontend) -> None:
+        r = fe.resp
+        if r is None or not r["toks"]:
+            return
+        if self._synth is None:  # text-only service: no audio stage
+            fe.sink.emit("response_text", {
+                "text": self.engine.core.tokenizer.decode(r["toks"])})
+            r["toks"], r["hids"] = [], []
+            return
+        try:
+            out = self._synth._synthesize(r["toks"], r["hids"])
+        except Exception as e:
+            fe.sink.emit("error", {"where": "sentence_tts", "message": str(e)})
+            out = None
+        r["toks"], r["hids"] = [], []
+        if out is None:
+            return
+        text, pcm16 = out
+        fe.sink.emit("response_text", {"text": text})
+        if pcm16 is not None and pcm16.size:
+            fe.sink.emit("response_audio", {"pcm": pcm16, "sr": 16000})
             self.enqueue_audio_data(fe.sid, "system", {"audio": pcm16})

@@ -126,6 +126,51 @@ class TestFastPath:
         assert len(toks) == 7
         assert engine.store.kv_length(slot) > before
 
+    def test_engine_continue_segments_matches_manual_batch(self):
+        """Batched response continuation: continue_segments must equal a
+        hand-built generate_segment over the same bucketed batch (pad row =
+        first slot), scatter each real row's advanced KV back, and trim each
+        row's tokens at its eod."""
+        from freeze_omni_tpu.runtime.engine import ServingEngine
+
+        sys_cfg = tiny_system()
+        sys_cfg = dataclasses.replace(
+            sys_cfg,
+            serving=dataclasses.replace(sys_cfg.serving, max_sessions=4))
+        engine = ServingEngine(sys_cfg, seed=0)
+        rs = np.random.RandomState(1)
+        sids = ["a", "b", "c"]
+        for sid in sids:
+            engine.open_session(sid)
+            engine.submit_chunk(
+                sid, "user", rs.randn(1, 32, 80).astype(np.float32),
+                is_sl=True)
+        engine.tick()
+        slots = [engine.store.slot_of(s) for s in sids]
+        last = {"a": 5, "b": 7, "c": 9}
+        rng = jax.random.PRNGKey(21)
+        eod = engine.core.tokenizer.eod_id
+
+        kv_in = engine.store.gather_kv_many(slots + [slots[0]])
+        tok0 = jnp.asarray([5, 7, 9, 5], jnp.int32)
+        toks_m, hid_m, done_m, kv_m = audio_llm.generate_segment(
+            engine.core.params, sys_cfg.audio_llm, tok0, kv_in, rng,
+            sys_cfg.sampling, n_steps=6, eod_id=eod)
+
+        out = engine.continue_segments(last, n_steps=6, rng=rng)
+        assert set(out) == set(sids)
+        for i, sid in enumerate(sids):
+            seg, hid, done = out[sid]
+            exp = [int(t) for t in np.asarray(toks_m)[i]]
+            if bool(np.asarray(done_m)[i]) and eod in exp:
+                exp = exp[: exp.index(eod) + 1]
+            assert seg == exp
+            assert hid.shape == (len(seg), sys_cfg.audio_llm.llm.hidden)
+            assert done == bool(np.asarray(done_m)[i])
+            row = engine.store.gather_kv(slots[i])
+            np.testing.assert_array_equal(np.asarray(row.k)[:, 0],
+                                          np.asarray(kv_m.k)[:, i])
+
     def test_store_gather_scatter_many_roundtrip(self):
         """gather_kv_many/scatter_kv_many move batched KV rows exactly, and
         extra bucket-padding rows in the scattered batch are discarded."""

@@ -82,6 +82,64 @@ class TestDuplexService:
                    if e["identity"] == "system"]
         assert sys_vad, "synthesized speech never re-entered as system audio"
 
+    def test_response_continuation_emits_and_completes(self):
+        """Multi-sentence continuation: a registered in-flight response
+        advances by batched text segments across service steps, flushes its
+        buffer at the token cap, and clears — without error events."""
+        import dataclasses
+
+        import jax
+
+        from freeze_omni_tpu.models import codec as codec_mod
+        from freeze_omni_tpu.models import speech_decoder as sd
+
+        cfg = tiny_system()
+        cfg = dataclasses.replace(
+            cfg, duplex=dataclasses.replace(cfg.duplex, resp_threshold=2.0,
+                                            resp_segment=6,
+                                            resp_max_tokens=10))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+        tts_params = {"decoder": sd.init_params(k1, cfg.tts.decoder),
+                      "codec": codec_mod.init_params(k2, cfg.tts.codec)}
+        svc = DuplexService(cfg, seed=0, tts_params=tts_params)
+        sink = svc.open_session("s1")
+        n = cfg.duplex.gating.samples_per_chunk
+        svc.enqueue_audio_data("s1", "user", {"audio": np.zeros(n, np.float32)})
+        svc.step()
+
+        slot = svc.engine.store.slot_of("s1")
+        before = svc.engine.store.kv_length(slot)
+        fe = svc.sessions["s1"]
+        fe.resp = {"last": 3, "n": 0, "toks": [], "hids": []}
+        for _ in range(4):
+            if fe.resp is None:
+                break
+            assert svc._continue_responses()
+        assert fe.resp is None  # hit eod or the 10-token cap and completed
+        assert svc.engine.store.kv_length(slot) > before
+        assert not sink.events_of("error")
+        # continuation without any respondents is a no-op
+        assert not svc._continue_responses()
+
+    def test_user_barge_in_interrupts_response(self):
+        """A user speech onset (ipu_sl) while a response continuation is in
+        flight cancels it and emits response_interrupted."""
+        cfg = tiny_system()
+        svc = DuplexService(cfg, seed=0)
+        sink = svc.open_session("s1")
+        n = cfg.duplex.gating.samples_per_chunk
+        svc.enqueue_audio_data("s1", "user", {"audio": np.zeros(n, np.float32)})
+        svc.step()
+        fe = svc.sessions["s1"]
+        fe.resp = {"last": 3, "n": 0, "toks": [], "hids": []}
+        svc.enqueue_audio_data("s1", "user", {"audio": _speech(2 * n)})
+        for _ in range(6):
+            if fe.resp is None:
+                break
+            svc.step()
+        assert fe.resp is None
+        assert sink.events_of("response_interrupted")
+
     def test_batched_service_matches_single_session_engine(self):
         """A session served through DuplexService must produce the same state
         probabilities as the same audio through a solo-session service (the
