@@ -35,6 +35,12 @@ import numpy as np
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="freeze-omni-tpu duplex server")
     p.add_argument("--preset", default="flagship", choices=["tiny", "flagship"])
+    p.add_argument("--config", default=None,
+                   help="YAML config: either this framework's system schema "
+                        "(config.load_system_config) or the reference fork's "
+                        "app config (configs/dialog_state_pred_config.yaml "
+                        "sections are auto-detected; its model_path/llm_path "
+                        "apply unless overridden)")
     p.add_argument("--model_path", default=None,
                    help="reference checkpoint dir (loads converted weights)")
     p.add_argument("--llm_path", default=None)
@@ -68,6 +74,31 @@ class Server:
         self._ckpt_params = None
         self._ckpt_tts = None
         self._tokenizer = None
+        base_cfg = None
+        if args.config:
+            import yaml as _yaml
+
+            from ..config import load_reference_app_yaml, load_system_config
+
+            with open(args.config) as f:
+                doc = _yaml.safe_load(f) or {}
+            if ("audio_feature_gating" in doc or "dialog_state_decision" in doc
+                    or "inference_control" in doc):
+                import os as _os
+
+                base_cfg, extras = load_reference_app_yaml(
+                    args.config, base=(tiny_system() if args.preset == "tiny"
+                                       else flagship_system()))
+                # the YAML's checkpoint paths apply only when present on disk
+                # (the reference file pins another machine's absolute paths)
+                if not args.model_path and extras["model_path"] and \
+                        _os.path.isdir(extras["model_path"]):
+                    args.model_path = extras["model_path"]
+                if not args.llm_path and extras["llm_path"] and \
+                        _os.path.isdir(extras["llm_path"]):
+                    args.llm_path = extras["llm_path"]
+            else:
+                base_cfg = load_system_config(args.config)
         if args.model_path:
             from ..utils.factory import build_system_from_reference
 
@@ -75,8 +106,15 @@ class Server:
              self._tokenizer) = build_system_from_reference(
                 args.model_path, args.llm_path)
         else:
-            self.cfg = (tiny_system() if args.preset == "tiny"
-                        else flagship_system())
+            self.cfg = base_cfg or (tiny_system() if args.preset == "tiny"
+                                    else flagship_system())
+        if base_cfg is not None and self.cfg is not base_cfg:
+            # checkpoint path set the architecture; the app YAML still governs
+            # runtime behavior (VAD/gating cadence, sampling, thresholds)
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, duplex=base_cfg.duplex,
+                                           sampling=base_cfg.sampling)
         if args.resp_threshold is not None:
             import dataclasses
 

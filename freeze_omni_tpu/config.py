@@ -502,6 +502,75 @@ def from_reference_train_yaml(configs: dict) -> AudioLLMConfig:
     return AudioLLMConfig(encoder=encoder, adapter=adapter, llm=llm)
 
 
+def load_reference_app_yaml(path: str, base: "SystemConfig" = None):
+    """Import the reference fork's app config
+    (configs/dialog_state_pred_config.yaml — the file run by
+    bin/dialog_state_pred.py:42): VAD timing, feature-gating/fbank cadence,
+    sampling controls, response threshold and default prompt map onto the
+    typed tree. Returns (SystemConfig, extras) where extras carries the
+    non-architectural keys ({'model_path', 'llm_path'}) for checkpoint
+    loading."""
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f) or {}
+    cfg = base or flagship_system()
+
+    vad_doc = doc.get("vad", {})
+    vad = dataclasses.replace(
+        cfg.duplex.vad,
+        sample_rate=int(doc.get("audio", {}).get(
+            "expected_sampling_rate", cfg.duplex.vad.sample_rate)),
+        threshold=float(vad_doc.get("vad_threshold",
+                                    cfg.duplex.vad.threshold)),
+        min_silence_s=float(vad_doc.get("min_silent_duration_second",
+                                        cfg.duplex.vad.min_silence_s)),
+        speech_pad_s=float(vad_doc.get("speech_pad_second",
+                                       cfg.duplex.vad.speech_pad_s)),
+        history_cache_chunks=int(vad_doc.get(
+            "vad_history_cache_chunk_cnt",
+            cfg.duplex.vad.history_cache_chunks)))
+
+    g_doc = doc.get("audio_feature_gating", {})
+    fb = g_doc.get("fbank", {})
+    gating = dataclasses.replace(
+        cfg.duplex.gating,
+        sample_rate=vad.sample_rate,
+        feat_dim=int(fb.get("feat_dim", cfg.duplex.gating.feat_dim)),
+        chunk_duration_s=float(fb.get("expected_audio_chunk_duration_in_sec",
+                                      cfg.duplex.gating.chunk_duration_s)),
+        frame_length_s=float(fb.get("audio_to_proc_per_step_in_sec",
+                                    cfg.duplex.gating.frame_length_s)),
+        frame_shift_s=float(fb.get("step_size_in_sec",
+                                   cfg.duplex.gating.frame_shift_s)),
+        context_duration_s=float(fb.get("context_duration_in_sec",
+                                        cfg.duplex.gating.context_duration_s)),
+        history_size=int(g_doc.get("feature_gating_history_size",
+                                   cfg.duplex.gating.history_size)),
+        onset_cache_size=int(g_doc.get("onset_input_chunk_cache_size",
+                                       cfg.duplex.gating.onset_cache_size)))
+
+    inf = doc.get("inference_control", {})
+    sampling = dataclasses.replace(
+        cfg.sampling,
+        top_k=int(inf.get("top_k", cfg.sampling.top_k)),
+        top_p=float(inf.get("top_p", cfg.sampling.top_p)),
+        temperature=float(inf.get("temperature", cfg.sampling.temperature)))
+
+    dec = doc.get("dialog_state_decision", {})
+    duplex = dataclasses.replace(
+        cfg.duplex, vad=vad, gating=gating,
+        resp_threshold=float(dec.get("resp_threshold",
+                                     cfg.duplex.resp_threshold)),
+        default_prompt=str(inf.get("default_prompt",
+                                   cfg.duplex.default_prompt)))
+
+    out = dataclasses.replace(cfg, duplex=duplex, sampling=sampling)
+    extras = {"model_path": doc.get("model_path"),
+              "llm_path": doc.get("llm_path")}
+    return out, extras
+
+
 def load_system_config(path: str) -> "SystemConfig":
     """Load a SystemConfig from YAML. Sections mirror the dataclass tree
     (audio_llm.encoder/adapter/llm, tts.decoder/codec, duplex.vad/gating,

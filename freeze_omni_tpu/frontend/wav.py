@@ -44,7 +44,9 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
         ch = 1
     else:
         ch = samples.shape[1]
-    pcm = np.clip(samples, -1.0, 1.0)
+    # np.clip passes NaN through; scrub non-finite samples (random-weight
+    # models can emit them) so the s16 cast is always defined
+    pcm = np.clip(np.nan_to_num(samples), -1.0, 1.0)
     pcm = (pcm * 32767.0).astype("<i2")
     with wave.open(path, "wb") as w:
         w.setnchannels(ch)

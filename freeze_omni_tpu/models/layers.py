@@ -56,7 +56,9 @@ def linear(p, x):
     else:
         y = jnp.einsum("...i,io->...o", x, p["w"])
     if "b" in p:
-        y = y + p["b"]
+        # keep the activation dtype: an f32 bias must not upcast a bf16
+        # activation (it would flip the qwen2 layer-scan carry dtype)
+        y = y + p["b"].astype(y.dtype)
     return y
 
 
@@ -78,7 +80,9 @@ def rms_norm(p, x, eps: float = 1e-6):
     dt = x.dtype
     x = x.astype(jnp.float32)
     var = jnp.mean(x * x, axis=-1, keepdims=True)
-    return (x * jax.lax.rsqrt(var + eps)).astype(dt) * p["scale"]
+    # scale in the activation dtype: an f32 scale must not upcast a bf16
+    # activation (dtype-stable layer-scan carries)
+    return (x * jax.lax.rsqrt(var + eps)).astype(dt) * p["scale"].astype(dt)
 
 
 def conv1d_init(key, in_ch: int, out_ch: int, kernel: int, groups: int = 1,

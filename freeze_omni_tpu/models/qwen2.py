@@ -123,7 +123,9 @@ def _gqa_attention(q, k_all, v_all, mask, rep: int):
     scores = jnp.where(mask[:, None, None], scores, NEG_INF)
     attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhrts,bshd->bthrd", attn, v_all)
-    return out.reshape(B, T, H * dk)
+    # follow the query/activation dtype: a wider cache (e.g. f32 KV under
+    # bf16 activations) must not upcast the residual-stream carry
+    return out.reshape(B, T, H * dk).astype(q.dtype)
 
 
 def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,

@@ -93,10 +93,10 @@ class _Core:
 
     def role_kv(self, role: str) -> qwen2.KVCache:
         ids = jnp.asarray(self.chat.role_prompt_ids(role))[None]
-        kv_dtype = jax.tree.leaves(self.params["llm"])[0].dtype
+        # cache dtype follows the ACTIVATION dtype (what embed_tokens emits) —
+        # the first tree leaf can be an f32 quantization scale in an int8 tree
         kv = qwen2.init_cache(self.acfg.llm, 1,
-                              dtype=kv_dtype if kv_dtype != jnp.int8
-                              else jnp.bfloat16)
+                              dtype=self.user_prefix_embeds.dtype)
         return self._prefill_tokens(self.params, self.acfg, ids, kv)
 
 

@@ -194,3 +194,57 @@ class TestConvFFNEncoder:
         full = enc.forward(params, cfg, jnp.asarray(
             np.random.RandomState(1).randn(1, 35, 80), jnp.float32))
         assert full.shape[2] == 32
+
+
+class TestReferenceAppYaml:
+    def test_load_reference_app_yaml(self, tmp_path):
+        """The fork's app config (configs/dialog_state_pred_config.yaml,
+        loaded by bin/dialog_state_pred.py:42) imports onto the typed tree:
+        VAD timing, gating/fbank cadence, sampling controls, response
+        threshold, default prompt; model/llm paths come back as extras."""
+        from freeze_omni_tpu.config import load_reference_app_yaml
+
+        y = tmp_path / "app.yaml"
+        y.write_text(
+            "model_path: \"/ckpt\"\n"
+            "llm_path: \"/llm\"\n"
+            "device: 'cuda:0'\n"
+            "audio:\n"
+            "  expected_sampling_rate: 16000\n"
+            "vad:\n"
+            "  use_standalone_vad: true\n"
+            "  vad_threshold: 0.6\n"
+            "  min_silent_duration_second: 0.4\n"
+            "  speech_pad_second: 0.05\n"
+            "  vad_history_cache_chunk_cnt: 3\n"
+            "audio_feature_gating:\n"
+            "  feature_gating_history_size: 12\n"
+            "  onset_input_chunk_cache_size: 2\n"
+            "  fbank:\n"
+            "    expected_audio_chunk_duration_in_sec: 0.224\n"
+            "    feat_dim: 80\n"
+            "    audio_to_proc_per_step_in_sec: 0.016\n"
+            "    step_size_in_sec: 0.008\n"
+            "    context_duration_in_sec: 0.032\n"
+            "inference_control:\n"
+            "  top_k: 7\n"
+            "  top_p: 0.9\n"
+            "  temperature: 0.6\n"
+            "  default_prompt: \"Be brief.\"\n"
+            "dialog_state_decision:\n"
+            "  resp_threshold: 0.55\n")
+        cfg, extras = load_reference_app_yaml(str(y))
+        assert extras == {"model_path": "/ckpt", "llm_path": "/llm"}
+        assert cfg.duplex.vad.threshold == 0.6
+        assert cfg.duplex.vad.min_silence_s == 0.4
+        assert cfg.duplex.vad.speech_pad_s == 0.05
+        assert cfg.duplex.vad.history_cache_chunks == 3
+        g = cfg.duplex.gating
+        assert (g.history_size, g.onset_cache_size) == (12, 2)
+        assert g.chunk_duration_s == 0.224 and g.frame_shift_s == 0.008
+        assert (cfg.sampling.top_k, cfg.sampling.top_p,
+                cfg.sampling.temperature) == (7, 0.9, 0.6)
+        assert cfg.duplex.resp_threshold == 0.55
+        assert cfg.duplex.default_prompt == "Be brief."
+        # architecture untouched (flagship backbone dims)
+        assert cfg.audio_llm.llm.hidden == 3584

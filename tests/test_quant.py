@@ -47,3 +47,28 @@ class TestQuant:
         b_ref = quantized_bytes(params["layers"])
         b_q = quantized_bytes(qparams["layers"])
         assert b_q < 0.6 * b_ref
+
+    def test_serving_engine_with_quantized_llm(self):
+        """Regression (r2): the serving path with an int8 tree + bf16
+        activations must keep the layer-scan carry dtype stable — the f32
+        quantization scales / biases / KV cache must not upcast bf16
+        activations (role_kv once picked its KV dtype from the first tree
+        leaf, an f32 scale, breaking full-depth int8 serving)."""
+        import jax.numpy as jnp
+
+        from freeze_omni_tpu.config import tiny_system
+        from freeze_omni_tpu.models import audio_llm
+        from freeze_omni_tpu.runtime.engine import ServingEngine
+
+        cfg = tiny_system()
+        params = audio_llm.init_params(jax.random.PRNGKey(0), cfg.audio_llm,
+                                       llm_dtype=jnp.bfloat16,
+                                       quantize_llm=True)
+        eng = ServingEngine(cfg, params=params, seed=0,
+                            kv_dtype=jnp.bfloat16)
+        eng.open_session("s0")
+        eng.submit_chunk("s0", "user",
+                         np.zeros((1, 32, 80), np.float32), is_sl=True)
+        out = eng.tick()
+        pred = out["user"][eng.store.slot_of("s0")]
+        assert 0.0 <= pred["state_1"] <= 1.0
