@@ -78,6 +78,13 @@ class ServingEngine:
         self._slot_role: Dict[int, str] = {}
         self._roll = None  # jitted qwen2.roll_kv, built on first use
         self._gen = None   # jitted generate_segment, built on first use
+        self._dual = None  # jitted fused user+system step, built on first use
+        # host mirror of kv.length: the roll check runs every tick and a
+        # device fetch costs a full tunnel round trip (~55 ms); the mirror
+        # refreshes for free on syncs that happen anyway (user predictions,
+        # response tokens) and is advanced by a conservative bound for
+        # fire-and-forget system steps
+        self._len_host: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     # session management
@@ -93,6 +100,8 @@ class ServingEngine:
             self._slot_role[slot] = role
             if on_prediction is not None:
                 self._callbacks[slot] = on_prediction
+            if self._len_host is not None:
+                self._len_host[slot] = self.store.prefix_len[slot]
         return slot
 
     def close_session(self, sid: str) -> None:
@@ -121,47 +130,105 @@ class ServingEngine:
             self._pending[identity][slot] = (np.asarray(fbank_chunk, np.float32),
                                              bool(is_sl))
 
+    def _gather_pending(self, identity: str):
+        """Drain one identity's pending chunks into padded batch arrays."""
+        with self._lock:
+            pending = self._pending[identity]
+            self._pending[identity] = {}
+        if not pending:
+            return None
+        B = self.store.max_sessions
+        first = next(iter(pending.values()))[0]
+        chunks = np.zeros((B, first.shape[1], first.shape[2]), np.float32)
+        active = np.zeros((B,), bool)
+        is_sl = np.zeros((B,), bool)
+        for slot, (c, sl) in pending.items():
+            chunks[slot] = c[0]
+            active[slot] = True
+            is_sl[slot] = sl
+        return pending, chunks, active, is_sl
+
+    # conservative per-step KV growth for fire-and-forget steps (prefix
+    # splice + adapter tokens of one 224 ms chunk); only used to advance the
+    # host length mirror between authoritative syncs
+    _STEP_APPEND_BOUND = 24
+
     def tick(self) -> Dict[str, Dict[int, dict]]:
-        """Run one batched step per identity with pending work. Returns
+        """Run the pending work of both identities — fused into ONE device
+        dispatch when both have chunks (each dispatch through the tunneled
+        chip costs ~55 ms; compute per tick is ~15 ms). Returns
         {identity: {slot: {'state_1','state_2'}}} for user predictions."""
         results: Dict[str, Dict[int, dict]] = {}
         self._maybe_roll_kv()
-        for identity in IDENTITIES:
-            with self._lock:
-                pending = self._pending[identity]
-                self._pending[identity] = {}
-            if not pending:
+        user = self._gather_pending("user")
+        system = self._gather_pending("system")
+        acfg = self.cfg.audio_llm
+        params = self.core.params
+
+        if user is not None and system is not None and \
+                user[1].shape == system[1].shape:
+            if self._dual is None:
+                def dual(params, u_chunks, u_sl, u_active, s_chunks, s_sl,
+                         s_active, u_prefix, s_prefix, caches):
+                    # user first, then system — same order as the serial path
+                    probs, caches = audio_llm.recognize_step(
+                        params, acfg, "user", u_chunks, u_sl, u_prefix,
+                        caches, active=u_active)
+                    _, caches = audio_llm.recognize_step(
+                        params, acfg, "system", s_chunks, s_sl, s_prefix,
+                        caches, active=s_active)
+                    return probs, caches
+
+                self._dual = jax.jit(dual)
+            with device_span("tick/dual"):
+                probs, caches = self._dual(
+                    params, jnp.asarray(user[1]), jnp.asarray(user[3]),
+                    jnp.asarray(user[2]), jnp.asarray(system[1]),
+                    jnp.asarray(system[3]), jnp.asarray(system[2]),
+                    self.core.user_prefix_embeds,
+                    self.core.system_prefix_embeds, self.store.caches)
+            self.store.caches = caches
+            self._deliver_user(results, user[0], probs)
+            return results
+
+        for identity, batch in (("user", user), ("system", system)):
+            if batch is None:
                 continue
-            B = self.store.max_sessions
-            t_f = next(iter(pending.values()))[0].shape[1]
-            chunks = np.zeros((B, t_f, pending[next(iter(pending))][0].shape[2]),
-                              np.float32)
-            active = np.zeros((B,), bool)
-            is_sl = np.zeros((B,), bool)
-            for slot, (c, sl) in pending.items():
-                chunks[slot] = c[0]
-                active[slot] = True
-                is_sl[slot] = sl
+            pending, chunks, active, is_sl = batch
             prefix = (self.core.user_prefix_embeds if identity == "user"
                       else self.core.system_prefix_embeds)
             with device_span(f"tick/{identity}"):
                 probs, caches = self._recognize(
-                    self.core.params, self.cfg.audio_llm, identity,
+                    params, acfg, identity,
                     jnp.asarray(chunks), jnp.asarray(is_sl), prefix,
                     self.store.caches, active=jnp.asarray(active))
             self.store.caches = caches
             if identity == "user":
-                probs = np.asarray(probs)
-                out = {}
-                for slot in pending:
-                    pred = {"state_1": float(probs[slot, 1]),
-                            "state_2": float(probs[slot, 2])}
-                    out[slot] = pred
-                    cb = self._callbacks.get(slot)
-                    if cb is not None:
-                        cb(identity, pred)
-                results[identity] = out
+                self._deliver_user(results, pending, probs)
+            elif self._len_host is not None:
+                # fire-and-forget step: advance the mirror by a conservative
+                # bound (overestimates only ever roll a session a bit early)
+                self._len_host = np.where(
+                    active, np.minimum(
+                        self._len_host + self._STEP_APPEND_BOUND,
+                        self.store.caches.kv.k.shape[2]),
+                    self._len_host).astype(np.int32)
         return results
+
+    def _deliver_user(self, results, pending, probs):
+        """Sync user predictions (refreshing the KV-length mirror on the same
+        transfer) and fire callbacks."""
+        probs, len_np = jax.device_get((probs, self.store.caches.kv.length))
+        self._len_host = np.asarray(len_np).copy()
+        out = {}
+        for slot in pending:
+            pred = {"state_1": float(probs[slot, 1]),
+                    "state_2": float(probs[slot, 2])}
+            out[slot] = pred
+            cb = self._callbacks.get(slot)
+            if cb is not None:
+                cb("user", pred)
+        results["user"] = out
 
 
     def _maybe_roll_kv(self) -> None:
@@ -175,7 +242,10 @@ class ServingEngine:
         if margin <= 0:
             return
         cap = self.store.caches.kv.k.shape[2]
-        lengths = np.asarray(self.store.caches.kv.length)
+        if self._len_host is None:  # first use: one authoritative fetch
+            self._len_host = np.asarray(
+                jax.device_get(self.store.caches.kv.length)).copy()
+        lengths = self._len_host
         need = lengths > cap - margin
         if not need.any():
             return
@@ -191,6 +261,10 @@ class ServingEngine:
                             jnp.asarray(self.store.prefix_len),
                             jnp.asarray(keep), jnp.asarray(need))
         self.store.caches = self.store.caches._replace(kv=new_kv)
+        # exact post-roll mirror: rolled rows hold prefix + min(keep, len-pfx)
+        rolled = self.store.prefix_len + np.minimum(
+            keep, lengths - self.store.prefix_len)
+        self._len_host = np.where(need, rolled, lengths).astype(np.int32)
         for slot in np.nonzero(need)[0]:
             cb = self._callbacks.get(int(slot))
             if cb is not None:
@@ -213,6 +287,7 @@ class ServingEngine:
         for text, pcm16, kv in responder.respond(kv):
             out.append((text, pcm16))
         self.store.scatter_kv(slot, kv)
+        self._len_host = None  # unknown growth: refetch on next roll check
         return out
 
     def respond_fast(self, sid: str, tts_params: dict, n_text: int = 8,
@@ -260,7 +335,11 @@ class ServingEngine:
                 penalty=cfg.tts.penalty)
         # stays on-device (no host sync); padded rows are not written back
         self.store.scatter_kv_many(slots, kv)
-        pcm_np, toks_np, nv = jax.device_get((pcm, toks, n_valid))  # ONE sync
+        pcm_np, toks_np, nv, len_np = jax.device_get(
+            (pcm, toks, n_valid, kv.length))  # ONE sync
+        if self._len_host is not None:
+            for i, slot in enumerate(slots):
+                self._len_host[slot] = len_np[i]
         out = {}
         for i, sid in enumerate(sids):
             # reference emission semantics (llm2tts.py:140-160): an eos inside
@@ -303,7 +382,11 @@ class ServingEngine:
                 rng if rng is not None else self.core.next_key(),
                 self.cfg.sampling, n_steps=n_steps, eod_id=eod)
         self.store.scatter_kv_many(slots, kv)
-        toks_np, hid_np, done_np = jax.device_get((toks, hiddens, done))
+        toks_np, hid_np, done_np, len_np = jax.device_get(
+            (toks, hiddens, done, kv.length))
+        if self._len_host is not None:
+            for i, slot in enumerate(slots):
+                self._len_host[slot] = len_np[i]
         hid_np = np.asarray(hid_np, np.float32)
         out = {}
         for i, sid in enumerate(sids):

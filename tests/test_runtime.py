@@ -171,3 +171,49 @@ class TestPipelinePool:
         pool.release(h1)
         assert h1.user_count == 1
         assert isinstance(h1.pipeline_proc, ServingEngine)
+
+
+class TestDualIdentityTick:
+    def test_fused_tick_matches_serial_ticks(self):
+        """When user AND system chunks are pending the tick fuses both
+        identities into one dispatch; results must match the serial
+        two-dispatch path (same op order: user first)."""
+        import jax
+
+        from freeze_omni_tpu.config import tiny_system
+        from freeze_omni_tpu.runtime.engine import ServingEngine
+
+        cfg = tiny_system()
+        rs = np.random.RandomState(3)
+        u_chunk = rs.randn(1, 32, 80).astype(np.float32)
+        s_chunk = rs.randn(1, 32, 80).astype(np.float32)
+
+        def build():
+            eng = ServingEngine(cfg, seed=0)
+            eng.open_session("s0")
+            return eng
+
+        fused = build()
+        fused.submit_chunk("s0", "user", u_chunk, is_sl=True)
+        fused.submit_chunk("s0", "system", s_chunk, is_sl=True)
+        out_f = fused.tick()
+
+        serial = build()
+        serial.submit_chunk("s0", "user", u_chunk, is_sl=True)
+        out_s = serial.tick()
+        serial.submit_chunk("s0", "system", s_chunk, is_sl=True)
+        serial.tick()
+
+        slot = fused.store.slot_of("s0")
+        pf, ps = out_f["user"][slot], out_s["user"][slot]
+        np.testing.assert_allclose(
+            [pf["state_1"], pf["state_2"]], [ps["state_1"], ps["state_2"]],
+            atol=1e-5)
+        assert fused.store.kv_length(slot) == serial.store.kv_length(slot)
+        np.testing.assert_allclose(
+            np.asarray(fused.store.gather_kv(slot).k),
+            np.asarray(serial.store.gather_kv(slot).k), atol=1e-5)
+        # the host length mirror tracks the true device lengths
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(fused.store.caches.kv.length)),
+            fused._len_host)
