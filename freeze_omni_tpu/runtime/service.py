@@ -53,6 +53,9 @@ class _SessionFrontend:
         # from), 'n': tokens generated so far, 'toks': sentence buffer,
         # 'hids': [[1,1,D] float32]} — None when not speaking
         self.resp: Optional[dict] = None
+        # barge-in generation counter: queued sentence-synthesis jobs carry
+        # the generation they belong to and are dropped if it moved on
+        self.resp_gen = 0
 
 
 class DuplexService:
@@ -68,16 +71,23 @@ class DuplexService:
         self.resp_threshold = cfg.duplex.resp_threshold
         self.tts_params = tts_params
         self._synth = None
+        self._tts_pool = None
         if tts_params is not None:
             # sentence-level synthesis for response continuation reuses the
             # solo responder's text->speech stage (post_process + re-embed +
-            # StreamingTTS with the sentence's hidden-state prefix)
+            # StreamingTTS with the sentence's hidden-state prefix); it runs
+            # on a single worker so vocoding never blocks the tick thread
+            # (one worker = sentences stay ordered)
+            from concurrent.futures import ThreadPoolExecutor
+
             from ..duplex.responder import DuplexResponder
             from ..tts import StreamingTTS
 
             self._synth = DuplexResponder(
                 self.engine.core, StreamingTTS(tts_params, cfg.tts, seed=seed),
                 cfg)
+            self._tts_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="sentence-tts")
 
     # ------------------------------------------------------------------
 
@@ -179,8 +189,10 @@ class DuplexService:
                 if fe.resp is not None:
                     # barge-in: user speech onset cancels the in-flight
                     # response continuation (the reference interrupts the LLM
-                    # on user input — "LLM interrupted", BASELINE.md span)
+                    # on user input — "LLM interrupted", BASELINE.md span);
+                    # bumping the generation also drops queued TTS jobs
                     fe.resp = None
+                    fe.resp_gen += 1
                     fe.sink.emit("response_interrupted", {"time_stamp": ts})
             handle.add_chunk(ann["audio"], ts)
         elif status in ("ipu_cl", "ipu_el"):
@@ -307,24 +319,42 @@ class DuplexService:
         return True
 
     def _emit_sentence(self, fe: _SessionFrontend) -> None:
+        """Queue the buffered sentence for synthesis off the tick thread
+        (single worker: sentences stay ordered; a barge-in bumps resp_gen so
+        stale jobs are dropped before emitting)."""
         r = fe.resp
         if r is None or not r["toks"]:
             return
+        toks, hids = r["toks"], r["hids"]
+        r["toks"], r["hids"] = [], []
         if self._synth is None:  # text-only service: no audio stage
             fe.sink.emit("response_text", {
-                "text": self.engine.core.tokenizer.decode(r["toks"])})
-            r["toks"], r["hids"] = [], []
+                "text": self.engine.core.tokenizer.decode(toks)})
+            return
+        self._tts_pool.submit(self._synthesize_job, fe, toks, hids,
+                              fe.resp_gen)
+
+    def _synthesize_job(self, fe: _SessionFrontend, toks, hids,
+                        gen: int) -> None:
+        if gen != fe.resp_gen:  # barged-in before synthesis started
             return
         try:
-            out = self._synth._synthesize(r["toks"], r["hids"])
+            out = self._synth._synthesize(toks, hids)
         except Exception as e:
             fe.sink.emit("error", {"where": "sentence_tts", "message": str(e)})
-            out = None
-        r["toks"], r["hids"] = [], []
-        if out is None:
+            return
+        if out is None or gen != fe.resp_gen:
             return
         text, pcm16 = out
         fe.sink.emit("response_text", {"text": text})
         if pcm16 is not None and pcm16.size:
             fe.sink.emit("response_audio", {"pcm": pcm16, "sr": 16000})
-            self.enqueue_audio_data(fe.sid, "system", {"audio": pcm16})
+            with self._lock:
+                still_open = self.sessions.get(fe.sid) is fe
+            if still_open:  # session may close while the job was queued
+                self.enqueue_audio_data(fe.sid, "system", {"audio": pcm16})
+
+    def flush_tts(self, timeout: float = 30.0) -> None:
+        """Block until queued sentence-synthesis jobs drain (tests/teardown)."""
+        if self._tts_pool is not None:
+            self._tts_pool.submit(lambda: None).result(timeout=timeout)

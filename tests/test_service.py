@@ -116,6 +116,7 @@ class TestDuplexService:
                 break
             assert svc._continue_responses()
         assert fe.resp is None  # hit eod or the 10-token cap and completed
+        svc.flush_tts()  # sentence synthesis runs off the tick thread
         assert svc.engine.store.kv_length(slot) > before
         assert not sink.events_of("error")
         # continuation without any respondents is a no-op
