@@ -444,7 +444,8 @@ def main():
             "baseline_p50_ms": BASELINE_P50_MS,
             "llm_layers": acfg.llm.num_layers,
             "full_depth_7b": full_depth,
-            "llm_weights": "int8 weight-only" if args.quant else "bf16",
+            "llm_weights": ("int8 weight-only" if quant
+                            else llm_dtype.__name__),
             "throughput": tput,
             "note": "vs_baseline = ours/reference (<1 is faster), reported "
                     "only at the full 28-layer Qwen2-7B depth; fused = "

@@ -143,7 +143,12 @@ class Server:
 
             def ticker():
                 while not self._svc_stop.is_set():
-                    if not self.service.step():
+                    try:
+                        worked = self.service.step()
+                    except Exception as e:  # a poisoned tick must not kill
+                        print(f"ticker error: {e!r}", file=sys.stderr)
+                        worked = False
+                    if not worked:
                         self._svc_stop.wait(0.01)
 
             threading.Thread(target=ticker, daemon=True).start()

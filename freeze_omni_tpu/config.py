@@ -394,7 +394,8 @@ class ServingConfig:
     # less than kv_margin free slots (the margin must cover the largest
     # appendage between checks: a chunk prefill or assistant prefix +
     # generated tokens), keeping the role prefix + the last kv_keep_recent
-    # entries. 0 margin disables rolling (hard reset fallback).
+    # entries. Clamped to >= 64 at use — capacity protection cannot be
+    # disabled (overflow would silently corrupt attention).
     kv_margin: int = 128
     kv_keep_recent: int = 512
 

@@ -25,14 +25,39 @@ from ..tts import StreamingTTS
 SENTENCE_SUFFIXES = ("。", "：", "？", "！", ".", "?", "!", "\n")
 
 
+def split_sentences(tokenizer, eod_id: int, buf_toks: list, buf_hids: list,
+                    toks, hids) -> list:
+    """Shared sentence accumulator for the solo responder AND the batched
+    continuation path: feed new (token, hidden [1,1,D]) pairs into the
+    running buffers; a sentence-suffix piece or eod completes the buffer.
+    Returns [(tokens, hiddens), ...] of completed sentences; the buffers are
+    left holding any unterminated tail."""
+    done_sents = []
+    for j, t in enumerate(toks):
+        if t != eod_id:
+            buf_toks.append(int(t))
+            buf_hids.append(hids[j])
+        piece = tokenizer.decode([int(t)]) if t != eod_id else ""
+        if (piece.endswith(SENTENCE_SUFFIXES) or t == eod_id) and buf_toks:
+            done_sents.append((list(buf_toks), list(buf_hids)))
+            buf_toks.clear()
+            buf_hids.clear()
+    return done_sents
+
+
 class DuplexResponder:
     def __init__(self, core: _Core, tts: StreamingTTS, cfg: SystemConfig,
-                 max_tokens: int = 64, segment: int = 16):
+                 max_tokens: Optional[int] = None,
+                 segment: Optional[int] = None):
         self.core = core
         self.tts = tts
         self.cfg = cfg
-        self.max_tokens = max_tokens
-        self.segment = segment
+        # response length/cadence come from the config (one source of truth
+        # with the batched service); explicit args override
+        self.max_tokens = (max_tokens if max_tokens is not None
+                           else cfg.duplex.resp_max_tokens)
+        self.segment = (segment if segment is not None
+                        else cfg.duplex.resp_segment)
 
     def respond(self, kv: qwen2.KVCache
                 ) -> Iterator[Tuple[str, Optional[np.ndarray], qwen2.KVCache]]:
@@ -44,16 +69,19 @@ class DuplexResponder:
         tok, hidden, kv = core._prefill_sample(
             core.params, acfg, ids, kv, core.next_key(), self.cfg.sampling)
 
-        tokens = [int(tok[0])]
-        hiddens = [np.asarray(hidden, np.float32)[:, None]]  # [1, 1, D]
+        last = int(tok[0])
         n = 1
         eod = core.tokenizer.eod_id
-        done = tokens[-1] == eod
-        cur_tokens, cur_hiddens = list(tokens), list(hiddens)
+        done = last == eod
+        cur_tokens: list = []
+        cur_hiddens: list = []
+        if not done:
+            cur_tokens.append(last)
+            cur_hiddens.append(np.asarray(hidden, np.float32)[:, None])
 
         while not done and n < self.max_tokens:
             toks, hids, d, kv = core._generate_segment(
-                core.params, acfg, jnp.asarray([tokens[-1]]), kv,
+                core.params, acfg, jnp.asarray([last]), kv,
                 core.next_key(), self.cfg.sampling, n_steps=self.segment,
                 eod_id=eod)
             seg = list(np.asarray(toks)[0])
@@ -61,17 +89,15 @@ class DuplexResponder:
             if eod in seg:
                 seg = seg[: seg.index(eod) + 1]
                 done = True
-            for j, t in enumerate(seg):
-                tokens.append(int(t))
-                cur_tokens.append(int(t))
-                cur_hiddens.append(hids[:, j : j + 1])
-                piece = core.tokenizer.decode([int(t)]) if t != eod else ""
-                if piece.endswith(SENTENCE_SUFFIXES) or t == eod:
-                    out = self._synthesize(cur_tokens, cur_hiddens)
-                    if out is not None:
-                        yield out[0], out[1], kv
-                    cur_tokens, cur_hiddens = [], []
+            per_tok = [hids[:, j: j + 1] for j in range(len(seg))]
+            for st, sh in split_sentences(core.tokenizer, eod, cur_tokens,
+                                          cur_hiddens, seg, per_tok):
+                out = self._synthesize(st, sh)
+                if out is not None:
+                    yield out[0], out[1], kv
             n += len(seg)
+            if seg:
+                last = int(seg[-1])
         if cur_tokens:
             out = self._synthesize(cur_tokens, cur_hiddens)
             if out is not None:

@@ -238,9 +238,11 @@ class ServingEngine:
         survives (vs the reference's unbounded growth, audioLLM.py:416-419).
         The margin covers the largest appendage between checks (ADVICE r1:
         a chunk prefill or assistant prefix + generated response tokens)."""
-        margin = self.cfg.serving.kv_margin
-        if margin <= 0:
-            return
+        # the margin is a safety floor, not a feature toggle: without it,
+        # sessions exceed qwen2.forward's length+n_new <= S-1 invariant and
+        # scatter writes silently drop (garbage attention). Clamp to cover
+        # the largest appendage between checks.
+        margin = max(self.cfg.serving.kv_margin, 64)
         cap = self.store.caches.kv.k.shape[2]
         if self._len_host is None:  # first use: one authoritative fetch
             self._len_host = np.asarray(

@@ -47,7 +47,9 @@ def first_response(params, tts_params, acfg: AudioLLMConfig,
     n_valid_codec (minus the look-ahead padding when no eos fired) — matching
     the reference's eos stop + right-padding trim (llm2tts.py:140-160).
     penalty_window/penalty: the repetition penalty the reference applies in
-    its codec decode loop (decoder.py:349-351); window 10 is its default."""
+    its codec decode loop when window > 0 (decoder.py:349-351); the
+    reference's own runtime default is -1 = disabled (llm2tts.py:115), which
+    TTSConfig mirrors."""
     k1, k2 = jax.random.split(rng)
     B = assistant_ids.shape[0]
 

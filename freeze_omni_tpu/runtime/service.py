@@ -157,10 +157,14 @@ class DuplexService:
         results = self.engine.tick()
         respondents: List[str] = []
         for sid, feat in submitted.items():
-            pred = results.get("user", {}).get(self.engine.store.slot_of(sid))
+            try:  # the session may close concurrently (websocket thread)
+                slot = self.engine.store.slot_of(sid)
+            except KeyError:
+                continue
+            pred = results.get("user", {}).get(slot)
             if pred is None:
                 continue
-            if self._decide(self.sessions[sid], feat, pred):
+            if self._decide(sessions[sid], feat, pred):
                 respondents.append(sid)
         if respondents:
             # all sessions that decided to speak this tick share ONE fused
@@ -249,16 +253,22 @@ class DuplexService:
     def _respond_fast_many(self, sids: List[str]) -> None:
         from ..frontend.wav import resample
 
+        with self._lock:  # drop sessions that closed since the decision
+            frontends = {sid: self.sessions[sid] for sid in sids
+                         if sid in self.sessions}
+        if not frontends:
+            return
         try:
-            out = self.engine.respond_fast_many(sids, self.tts_params)
+            out = self.engine.respond_fast_many(list(frontends),
+                                                self.tts_params)
         except Exception as e:
-            for sid in sids:
-                self.sessions[sid].sink.emit(
+            for fe in frontends.values():
+                fe.sink.emit(
                     "error", {"where": "respond_fast", "message": str(e)})
             return
         eod = self.engine.core.tokenizer.eod_id
         for sid, (pcm24, toks) in out.items():
-            fe = self.sessions[sid]
+            fe = frontends[sid]
             fe.sink.emit("response_text",
                          {"text": self.engine.core.tokenizer.decode(
                              [t for t in toks if t != eod])})
@@ -266,7 +276,7 @@ class DuplexService:
                          {"pcm": pcm24[0, 0],
                           "sr": self.cfg.tts.codec.sample_rate})
             pcm16 = resample(pcm24[0, 0], self.cfg.tts.codec.sample_rate, 16000)
-            self.enqueue_audio_data(fe.sid, "system", {"audio": pcm16})
+            self._feedback_system_audio(fe, pcm16)
             # register continuation: the fast path spoke the first segment;
             # later sentences advance batched across ticks until eod/cap
             if toks and toks[-1] != eod and \
@@ -283,7 +293,7 @@ class DuplexService:
         with self._lock:
             sessions = dict(self.sessions)
         cont = {sid: fe.resp["last"] for sid, fe in sessions.items()
-                if fe.resp is not None}
+                if fe.resp is not None and self.engine.store.has(sid)}
         if not cont:
             return False
         try:
@@ -296,43 +306,39 @@ class DuplexService:
                 sessions[sid].resp = None
             return True
         eod = self.engine.core.tokenizer.eod_id
-        from ..duplex.responder import SENTENCE_SUFFIXES
+        from ..duplex.responder import split_sentences
 
         for sid, (toks, hids, done) in out.items():
             fe = sessions[sid]
             r = fe.resp
             if r is None:  # barge-in cleared it mid-flight
                 continue
-            for j, t in enumerate(toks):
-                r["n"] += 1
-                if t != eod:
-                    r["toks"].append(t)
-                    r["hids"].append(hids[j][None, None, :])
-                piece = (self.engine.core.tokenizer.decode([t])
-                         if t != eod else "")
-                if piece.endswith(SENTENCE_SUFFIXES) or t == eod:
-                    self._emit_sentence(fe)
+            per_tok = [hids[j][None, None, :] for j in range(len(toks))]
+            r["n"] += len(toks)
+            for st, sh in split_sentences(self.engine.core.tokenizer, eod,
+                                          r["toks"], r["hids"], toks,
+                                          per_tok):
+                self._emit_sentence(fe, st, sh)
             r["last"] = toks[-1] if toks else eod
             if done or r["n"] >= self.cfg.duplex.resp_max_tokens:
-                self._emit_sentence(fe)  # flush any unterminated tail
+                if r["toks"]:  # flush any unterminated tail
+                    self._emit_sentence(fe, r["toks"], r["hids"])
                 fe.resp = None
         return True
 
-    def _emit_sentence(self, fe: _SessionFrontend) -> None:
-        """Queue the buffered sentence for synthesis off the tick thread
+    def _emit_sentence(self, fe: _SessionFrontend, toks: list,
+                       hids: list) -> None:
+        """Queue one completed sentence for synthesis off the tick thread
         (single worker: sentences stay ordered; a barge-in bumps resp_gen so
         stale jobs are dropped before emitting)."""
-        r = fe.resp
-        if r is None or not r["toks"]:
+        if not toks:
             return
-        toks, hids = r["toks"], r["hids"]
-        r["toks"], r["hids"] = [], []
         if self._synth is None:  # text-only service: no audio stage
             fe.sink.emit("response_text", {
-                "text": self.engine.core.tokenizer.decode(toks)})
+                "text": self.engine.core.tokenizer.decode(list(toks))})
             return
-        self._tts_pool.submit(self._synthesize_job, fe, toks, hids,
-                              fe.resp_gen)
+        self._tts_pool.submit(self._synthesize_job, fe, list(toks),
+                              list(hids), fe.resp_gen)
 
     def _synthesize_job(self, fe: _SessionFrontend, toks, hids,
                         gen: int) -> None:
@@ -349,10 +355,16 @@ class DuplexService:
         fe.sink.emit("response_text", {"text": text})
         if pcm16 is not None and pcm16.size:
             fe.sink.emit("response_audio", {"pcm": pcm16, "sr": 16000})
-            with self._lock:
-                still_open = self.sessions.get(fe.sid) is fe
-            if still_open:  # session may close while the job was queued
-                self.enqueue_audio_data(fe.sid, "system", {"audio": pcm16})
+            self._feedback_system_audio(fe, pcm16)
+
+    def _feedback_system_audio(self, fe: _SessionFrontend,
+                               pcm16: np.ndarray) -> None:
+        """Feed synthesized speech back as system-identity input, tolerating
+        a session that closed concurrently."""
+        with self._lock:
+            still_open = self.sessions.get(fe.sid) is fe
+        if still_open:
+            fe.pcm["system"].push(np.asarray(pcm16, np.float32))
 
     def flush_tts(self, timeout: float = 30.0) -> None:
         """Block until queued sentence-synthesis jobs drain (tests/teardown)."""

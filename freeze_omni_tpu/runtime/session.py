@@ -78,6 +78,9 @@ class SessionStore:
     def slot_of(self, sid: str) -> int:
         return self._slots[sid]
 
+    def has(self, sid: str) -> bool:
+        return sid in self._slots
+
     @property
     def active_sids(self):
         return list(self._slots)

@@ -71,7 +71,9 @@ class TestFastPath:
         n_codec = 12
         rng = jax.random.PRNGKey(3)
         ids = jnp.asarray([[1, 2, 3]])
-        pw, pen = sys_cfg.tts.penalty_window_size, sys_cfg.tts.penalty
+        # window 10 EXERCISES the penalty branch (the config default of -1,
+        # matching the reference's llm2tts runtime default, would skip it)
+        pw, pen = 10, sys_cfg.tts.penalty
         _, f_toks, _, f_ctoks, _, _ = fastpath.first_response(
             params, tts_params, acfg, dcfg, sys_cfg.tts.codec,
             ids, kv0, rng, sys_cfg.sampling,
