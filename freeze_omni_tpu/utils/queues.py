@@ -16,18 +16,37 @@ import numpy as np
 
 
 class PCMQueue:
-    """Accumulates float32 PCM samples; `pull(n)` returns exactly n or None."""
+    """Accumulates float32 PCM samples; `pull(n)` returns exactly n or None.
 
-    def __init__(self):
+    Bounded: a client pushing faster than real time (network burst, replay
+    attack, stalled consumer) cannot grow the buffer without limit — the
+    OLDEST samples drop once `max_samples` is exceeded (the live end of a
+    conversation matters more than a stale backlog). Default cap = 120 s of
+    16 kHz audio per (session, identity)."""
+
+    def __init__(self, max_samples: int = 120 * 16000):
         self._buf: List[np.ndarray] = []
         self._n = 0
         self._lock = threading.Lock()
+        self.max_samples = max_samples
+        self.dropped = 0  # total samples evicted (observability)
 
     def push(self, samples: np.ndarray) -> None:
         samples = np.asarray(samples, np.float32).reshape(-1)
         with self._lock:
             self._buf.append(samples)
             self._n += samples.shape[0]
+            while self._n > self.max_samples and self._buf:
+                head = self._buf[0]
+                excess = self._n - self.max_samples
+                if head.shape[0] <= excess:
+                    self._buf.pop(0)
+                    self._n -= head.shape[0]
+                    self.dropped += head.shape[0]
+                else:
+                    self._buf[0] = head[excess:]
+                    self._n -= excess
+                    self.dropped += excess
 
     def push_s16le(self, raw: bytes) -> None:
         self.push(np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0)

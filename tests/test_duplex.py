@@ -208,3 +208,20 @@ class TestDuplexSession:
 
         time.sleep(0.3)
         sess.release()
+
+
+class TestPCMQueueBackpressure:
+    def test_bounded_queue_drops_oldest(self):
+        q = PCMQueue(max_samples=10)
+        q.push(np.arange(8, dtype=np.float32))
+        q.push(np.arange(8, dtype=np.float32) + 100)
+        assert q.available() == 10
+        assert q.dropped == 6
+        out = q.pull(10)
+        # oldest 6 samples evicted: the survivors are [6,7] + the new 8
+        np.testing.assert_array_equal(out[:2], [6.0, 7.0])
+        np.testing.assert_array_equal(out[2:], np.arange(8) + 100.0)
+
+    def test_default_cap_is_two_minutes(self):
+        q = PCMQueue()
+        assert q.max_samples == 120 * 16000
