@@ -48,6 +48,68 @@ def transcribe(pipeline, chunker, wav: np.ndarray, max_tokens: int) -> str:
     return tok.decode([t for t in outputs["past_tokens"] if t != tok.eod_id])
 
 
+def batched_transcribe(pipeline, cfg, wavs, max_tokens: int,
+                       role: str = "Transcribe the user's speech exactly.",
+                       greedy: bool = True):
+    """Batched eval throughput path: B utterances share every device step
+    (role prefill, chunked listen with per-row validity, ONE fused
+    prefill+generate with done-masking). Semantically the batched twin of
+    `transcribe` — utterances are zero-padded to the group's max chunk count
+    (group by similar length for best parity). greedy=True (top_k=1) makes
+    rows independent of batch composition."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..frontend.chunker import OfflineChunker
+    from ..models import audio_llm, qwen2
+
+    core = pipeline.core
+    acfg = cfg.audio_llm
+    B = len(wavs)
+    sampling = (dataclasses.replace(cfg.sampling, top_k=1, top_p=1.0)
+                if greedy else cfg.sampling)
+    kv_dtype = core.user_prefix_embeds.dtype
+    ids = jnp.tile(jnp.asarray(core.chat.role_prompt_ids(role))[None], (B, 1))
+    kv = qwen2.init_cache(acfg.llm, B, dtype=kv_dtype)
+    kv = core._prefill_tokens(core.params, acfg, ids, kv)
+    caches = audio_llm.init_session(acfg, B, kv_dtype=kv_dtype)._replace(kv=kv)
+
+    chunkers = [OfflineChunker(cfg.chunker) for _ in range(B)]
+    chunk = chunkers[0].get_chunk_size()
+    n_chunks = max(int(math.ceil(len(w) / chunk)) for w in wavs)
+    padded = np.zeros((B, n_chunks * chunk), np.float32)
+    for b, w in enumerate(wavs):
+        padded[b, : len(w)] = w
+    for ci in range(n_chunks):
+        feats = np.concatenate(
+            [chunkers[b].process(padded[b, ci * chunk: (ci + 1) * chunk])
+             for b in range(B)], axis=0)
+        is_sl = jnp.asarray([ci == 0] * B)
+        _, caches = core._recognize(core.params, acfg, "user",
+                                    jnp.asarray(feats), is_sl,
+                                    core.user_prefix_embeds, caches)
+
+    if not hasattr(batched_transcribe, "_gen"):
+        batched_transcribe._gen = jax.jit(
+            audio_llm.prefill_and_generate,
+            static_argnames=("cfg", "sampling", "n_steps", "eod_id"))
+    sys_ids = jnp.tile(jnp.asarray(core.chat.system_prefix_ids)[None], (B, 1))
+    eod = core.tokenizer.eod_id
+    toks, _, done, _ = batched_transcribe._gen(
+        core.params, acfg, sys_ids, caches.kv, core.next_key(), sampling,
+        n_steps=max_tokens, eod_id=eod)
+    toks = np.asarray(toks)
+    out = []
+    for b in range(B):
+        row = [int(t) for t in toks[b]]
+        if eod in row:
+            row = row[: row.index(eod)]
+        out.append(core.tokenizer.decode(row))
+    return out
+
+
 def main(argv=None):
     from ..utils.compile_cache import enable_compile_cache
 
@@ -63,6 +125,10 @@ def main(argv=None):
                    help="score CER instead of WER")
     p.add_argument("--max_utts", type=int, default=0)
     p.add_argument("--max_tokens", type=int, default=64)
+    p.add_argument("--batch", type=int, default=0,
+                   help="batched eval: N utterances (sorted by length) share "
+                        "every device step — greedy decoding for "
+                        "batch-composition-independent results")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -84,7 +150,7 @@ def main(argv=None):
         pipeline = InferencePipeline(cfg, seed=args.seed)
     chunker = OfflineChunker(cfg.chunker)
 
-    pairs = []
+    utts = []
     with open(args.manifest) as f:
         for line in f:
             if not line.strip():
@@ -95,12 +161,28 @@ def main(argv=None):
                 wav = wav.mean(axis=1)
             if sr != 16000:
                 wav = resample(wav, sr, 16000)
+            utts.append((wav, ref))
+            if args.max_utts and len(utts) >= args.max_utts:
+                break
+
+    pairs = []
+    if args.batch > 1:
+        # sort by length so padding within a batch stays small
+        order = sorted(range(len(utts)), key=lambda i: len(utts[i][0]))
+        for s in range(0, len(order), args.batch):
+            group = [utts[i] for i in order[s: s + args.batch]]
+            hyps = batched_transcribe(pipeline, cfg, [w for w, _ in group],
+                                      args.max_tokens)
+            for (_, ref), hyp in zip(group, hyps):
+                pairs.append((ref, hyp))
+                print(f"[{len(pairs)}] ref={ref[:40]!r} hyp={hyp[:40]!r}",
+                      file=sys.stderr)
+    else:
+        for wav, ref in utts:
             hyp = transcribe(pipeline, chunker, wav, args.max_tokens)
             pairs.append((ref, hyp))
             print(f"[{len(pairs)}] ref={ref[:40]!r} hyp={hyp[:40]!r}",
                   file=sys.stderr)
-            if args.max_utts and len(pairs) >= args.max_utts:
-                break
 
     score = corpus_score(pairs, char_level=args.char_level)
     metric = "cer" if args.char_level else "wer"

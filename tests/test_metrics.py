@@ -43,3 +43,38 @@ class TestAsrEvalHarness:
         res = json.loads(out)
         assert res["metric"] == "wer" and res["n_utts"] == 1
         assert 0.0 <= res["value"] <= 400.0  # random weights: garbage hyp
+
+    def test_batched_eval_matches_rows_and_runs_cli(self, tmp_path, capsys):
+        """--batch N: utterances share every device step. Identical wavs in
+        one batch must transcribe identically (greedy decoding), and the CLI
+        path scores a multi-utterance manifest."""
+        from freeze_omni_tpu.bin.asr_eval import batched_transcribe, main
+        from freeze_omni_tpu.config import tiny_system
+        from freeze_omni_tpu.frontend.wav import write_wav
+        from freeze_omni_tpu.pipeline import InferencePipeline
+
+        sr = 16000
+        t = np.arange(sr // 2) / sr
+        wav = (0.3 * np.sin(2 * np.pi * 250 * t)).astype(np.float32)
+
+        cfg = tiny_system()
+        pipeline = InferencePipeline(cfg, seed=0)
+        hyps = batched_transcribe(pipeline, cfg, [wav, wav.copy()],
+                                  max_tokens=6)
+        assert len(hyps) == 2
+        assert hyps[0] == hyps[1]  # same audio, greedy -> same row output
+
+        paths = []
+        for i, scale in enumerate((0.3, 0.2, 0.25)):
+            p = tmp_path / f"u{i}.wav"
+            write_wav(str(p), (scale * np.sin(2 * np.pi * (200 + 30 * i) * t)
+                               ).astype(np.float32), sr)
+            paths.append(p)
+        manifest = tmp_path / "dev.tsv"
+        manifest.write_text("".join(f"{p}\tref text {i}\n"
+                                    for i, p in enumerate(paths)))
+        main(["--preset", "tiny", "--manifest", str(manifest),
+              "--max_tokens", "6", "--batch", "2"])
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["n_utts"] == 3
+        assert res["metric"] == "wer" and res["value"] >= 0.0
