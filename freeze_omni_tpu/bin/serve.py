@@ -59,6 +59,11 @@ def get_args(argv=None):
                    help="serve all sessions through the continuous-batching "
                         "DuplexService (one batched device step per tick) "
                         "instead of per-session pipelines")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways for the frozen LLM (--engine "
+                        "mode): builds a (1, tp) mesh over the first tp "
+                        "devices; KV heads shard over 'model' via ICI "
+                        "collectives")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--timeout", type=float, default=None,
                    help="stop serving after N seconds (for smoke tests)")
@@ -134,10 +139,23 @@ class Server:
             svc_tts = None
             if args.respond:
                 svc_tts = self._ckpt_tts or self._init_tts_params()
+            mesh = None
+            if args.tp > 1:
+                import jax
+
+                from ..parallel.mesh import make_mesh
+
+                n = len(jax.devices())
+                if n < args.tp:
+                    raise SystemExit(
+                        f"--tp {args.tp} needs {args.tp} devices, have {n}")
+                mesh = make_mesh((1, args.tp), ("data", "model"),
+                                 devices=jax.devices()[: args.tp])
             self.service = DuplexService(cfg, seed=args.seed,
                                          tts_params=svc_tts,
                                          params=self._ckpt_params,
-                                         tokenizer=self._tokenizer)
+                                         tokenizer=self._tokenizer,
+                                         mesh=mesh)
             self.pipeline = None
             self._svc_stop = threading.Event()
 

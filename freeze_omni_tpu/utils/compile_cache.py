@@ -16,8 +16,17 @@ import os
 def enable_compile_cache(path: str | None = None) -> str:
     """Idempotently point JAX's persistent compilation cache at `path`
     (default: $FREEZE_OMNI_CACHE or ~/.cache/freeze_omni_tpu/xla). Call
-    before the first jit dispatch. Returns the directory used."""
+    before the first jit dispatch. Returns the directory used.
+
+    Also pins the platform from $JAX_PLATFORMS via jax.config: site plugins
+    (e.g. the axon TPU plugin) can pre-register a backend and ignore the
+    bare env var, so `JAX_PLATFORMS=cpu <entry point>` would silently run
+    on the chip without this."""
     import jax
+
+    env_platform = os.environ.get("JAX_PLATFORMS")
+    if env_platform:
+        jax.config.update("jax_platforms", env_platform)
 
     path = (path or os.environ.get("FREEZE_OMNI_CACHE")
             or os.path.join(os.path.expanduser("~"), ".cache",
