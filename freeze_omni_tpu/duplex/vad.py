@@ -48,21 +48,26 @@ class EnergyVAD:
         self.in_speech = False
         self.silence_run = 0
         self.noise_floor = 1e-4  # running RMS estimate of background
-        self._calibrated = False
+        # minimum-statistics window: ~25 chunks (5.6 s at the 224 ms cadence)
+        self._rms_window: list = []
+        self._rms_window_len = 25
         self.history: list = []  # last N chunks for onset replay
 
     def _prob(self, audio: np.ndarray) -> float:
-        """Pseudo-probability of speech from energy over the noise floor."""
+        """Pseudo-probability of speech from energy over the noise floor.
+
+        The floor is the MINIMUM chunk RMS over a sliding window (minimum
+        statistics — the quietest recent moment is background by
+        definition), clamped to [1e-5, 0.01]: the upper clamp keeps a stream
+        that OPENS with speech detectable, the lower guards digital silence.
+        Replaces round 1's first-chunk calibration (whatever arrived first
+        became the floor — fragile for speech-first streams; VERDICT r1
+        weak #6)."""
         rms = float(np.sqrt(np.mean(np.square(audio)) + 1e-12))
-        if not self._calibrated:
-            # first chunk calibrates the floor so ambient noise never
-            # false-starts an IPU; cap it so a stream that OPENS with speech
-            # (e.g. the system identity fed synthesized audio) still detects
-            self.noise_floor = max(min(rms, 0.01), 1e-5)
-            self._calibrated = True
-        # slow noise-floor tracking (only adapts on quiet frames)
-        if rms < 3.0 * self.noise_floor:
-            self.noise_floor = 0.95 * self.noise_floor + 0.05 * rms
+        self._rms_window.append(rms)
+        if len(self._rms_window) > self._rms_window_len:
+            self._rms_window.pop(0)
+        self.noise_floor = float(np.clip(min(self._rms_window), 1e-5, 0.01))
         snr = rms / (self.noise_floor + 1e-8)
         return float(1.0 / (1.0 + np.exp(-(snr - 4.0))))
 

@@ -38,7 +38,14 @@ QUANT_USE_PALLAS = False
 
 
 def linear(p, x):
-    if "w_q" in p:
+    if "w_q4" in p:
+        # int4 weight-only (ops/quant.quantize_linear_int4): XLA fuses the
+        # nibble unpack + grouped dequant into the matmul operand read
+        from ..ops.quant import dequantize_weight_int4
+
+        w = dequantize_weight_int4(p, dtype=x.dtype)
+        y = jnp.einsum("...i,io->...o", x, w)
+    elif "w_q" in p:
         # weight-only int8 (ops/quant.py)
         if (QUANT_USE_PALLAS and jax.default_backend() == "tpu"
                 and p["w_q"].ndim == 2):

@@ -35,6 +35,46 @@ def dequantize_weight(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (p["w_q"].astype(jnp.float32) * p["scale"][..., None, :]).astype(dtype)
 
 
+INT4_GROUP = 128  # input-dim group size for int4 scales (AWQ/GPTQ practice)
+
+
+def quantize_linear_int4(p: dict, group: int = INT4_GROUP) -> dict:
+    """{"w": [..., in, out]} -> {"w_q4": uint8 [..., in/2, out],
+    "scale4": f32 [..., in/group, out], "b"?}. Symmetric 4-bit (-7..7) with
+    per-(input-group, output-channel) scales; two nibbles pack along the
+    input dim (even rows -> low nibble). Halves HBM weight traffic again vs
+    int8 — decode is weight-read-bound."""
+    w = p["w"].astype(jnp.float32)
+    K, O = w.shape[-2], w.shape[-1]
+    assert K % 2 == 0 and K % group == 0, (K, group)
+    lead = w.shape[:-2]
+    wg = w.reshape(*lead, K // group, group, O)
+    scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2) / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(wg / scale[..., None, :]), -7, 7)
+    q = q.reshape(*lead, K, O).astype(jnp.int8)
+    u = (q + 8).astype(jnp.uint8)
+    packed = (u[..., 0::2, :] | (u[..., 1::2, :] << 4)).astype(jnp.uint8)
+    out = {"w_q4": packed, "scale4": scale.astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def dequantize_weight_int4(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Unpack {"w_q4","scale4"} back to [..., in, out] in `dtype`."""
+    packed = p["w_q4"]
+    lead = packed.shape[:-2]
+    K2, O = packed.shape[-2], packed.shape[-1]
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    w = jnp.stack([lo, hi], axis=-2).reshape(*lead, 2 * K2, O)
+    G = p["scale4"].shape[-2]
+    group = (2 * K2) // G
+    wg = w.reshape(*lead, G, group, O).astype(dtype)
+    return (wg * p["scale4"][..., None, :].astype(dtype)
+            ).reshape(*lead, 2 * K2, O)
+
+
 def quantize_embedding(p: dict) -> dict:
     """{"w": [V, D]} -> {"w_q": int8, "scale": f32 [V]} (per-row symmetric)."""
     w = p["w"].astype(jnp.float32)
@@ -76,7 +116,7 @@ def quantize_llm_params(params: dict, quantize_embeddings: bool = True) -> dict:
     return out
 
 
-def init_quantized_llm(key, cfg, dtype=jnp.bfloat16) -> dict:
+def init_quantized_llm(key, cfg, dtype=jnp.bfloat16, bits: int = 8) -> dict:
     """Random-init a Qwen2 param tree directly in int8, one weight group at a
     time, so peak HBM stays ~one group above the final int8 footprint
     (7.1 GiB resident for 28-layer 7B dims vs 13.2 GiB bf16).
@@ -91,9 +131,11 @@ def init_quantized_llm(key, cfg, dtype=jnp.bfloat16) -> dict:
     H, Hkv, dk = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     ks = jax.random.split(key, 10)
 
+    quantizer = quantize_linear if bits == 8 else quantize_linear_int4
+
     def q_group(k, i, o, bias):
         bound = 1.0 / math.sqrt(i)
-        mk = jax.jit(lambda k: quantize_linear(
+        mk = jax.jit(lambda k: quantizer(
             {"w": jax.random.uniform(k, (L, i, o), dtype, -bound, bound)}))
         p = jax.block_until_ready(mk(k))
         if bias:

@@ -72,3 +72,34 @@ class TestQuant:
         out = eng.tick()
         pred = out["user"][eng.store.slot_of("s0")]
         assert 0.0 <= pred["state_1"] <= 1.0
+
+    def test_int4_pack_roundtrip(self):
+        from freeze_omni_tpu.ops.quant import (dequantize_weight_int4,
+                                               quantize_linear_int4)
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 64)) * 0.1
+        q = quantize_linear_int4({"w": w, "b": jnp.zeros((2, 64))})
+        assert q["w_q4"].shape == (2, 128, 64) and q["w_q4"].dtype == jnp.uint8
+        assert q["scale4"].shape == (2, 2, 64)  # 256/128 groups
+        deq = dequantize_weight_int4(q, dtype=jnp.float32)
+        assert deq.shape == (2, 256, 64)
+        # 4-bit symmetric: max error <= scale/2 per group
+        err = np.abs(np.asarray(deq) - np.asarray(w))
+        bound = np.asarray(q["scale4"])[:, :, None, :].repeat(128, 2).reshape(
+            2, 256, 64) * 0.5 + 1e-7
+        assert (err <= bound).all()
+
+    def test_int4_linear_dispatch_matches_dequant(self):
+        from freeze_omni_tpu.models.layers import linear
+        from freeze_omni_tpu.ops.quant import (dequantize_weight_int4,
+                                               quantize_linear_int4)
+
+        w = jax.random.normal(jax.random.PRNGKey(1), (256, 32)) * 0.05
+        b = jax.random.normal(jax.random.PRNGKey(2), (32,)) * 0.01
+        q = quantize_linear_int4({"w": w, "b": b})
+        x = jax.random.normal(jax.random.PRNGKey(3), (4, 256)).astype(
+            jnp.float32)
+        got = linear(q, x)
+        want = x @ dequantize_weight_int4(q, jnp.float32) + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)

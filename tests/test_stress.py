@@ -86,3 +86,45 @@ class TestFailureContainment:
         assert any("injected predictor failure" in e["message"] for e in errors)
         # post-failure work was processed
         assert len(sess.sink.events_of("dialog_state_update")) >= 1
+
+
+class TestCloseDuringTick:
+    def test_sessions_closing_under_a_ticking_service(self):
+        """Regression for the r2 review: sessions closing from another thread
+        while the tick thread runs step() must never raise out of step() (a
+        KeyError once killed the server's ticker permanently). Sessions churn
+        open/close concurrently with continuous stepping + audio."""
+        import threading
+
+        from freeze_omni_tpu.config import tiny_system
+        from freeze_omni_tpu.runtime.service import DuplexService
+
+        cfg = tiny_system()
+        svc = DuplexService(cfg, seed=0)
+        n = cfg.duplex.gating.samples_per_chunk
+        speech = np.random.RandomState(0).randn(3 * n).astype(np.float32) * 0.4
+
+        stop = threading.Event()
+        step_errors = []
+
+        def ticker():
+            while not stop.is_set():
+                try:
+                    svc.step()
+                except Exception as e:  # any escape = the bug
+                    step_errors.append(repr(e))
+                    return
+
+        t = threading.Thread(target=ticker)
+        t.start()
+        try:
+            for round_i in range(12):
+                sid = f"churn-{round_i % 2}"
+                svc.open_session(sid)
+                svc.enqueue_audio_data(sid, "user", {"audio": speech})
+                time.sleep(0.05)  # let step() observe the session mid-work
+                svc.close_session(sid)
+        finally:
+            stop.set()
+            t.join(timeout=10)
+        assert not step_errors, step_errors

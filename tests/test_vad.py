@@ -118,3 +118,39 @@ class TestLearnedVAD:
         assert type(v2) is EnergyVAD
         v3 = make_vad(VADConfig(weights="/nonexistent/vad.npz"))
         assert type(v3) is EnergyVAD  # graceful fallback
+
+
+class TestEnergyVADMinStats:
+    def test_speech_first_stream_still_detects(self):
+        """A stream that OPENS with loud speech (no quiet lead-in) must still
+        fire ipu_sl — the old first-chunk calibration set the floor to the
+        speech level itself."""
+        from freeze_omni_tpu.config import VADConfig
+        from freeze_omni_tpu.duplex.vad import EnergyVAD
+
+        vad = EnergyVAD(VADConfig(chunk_size=512))
+        t = np.arange(512) / 16000
+        loud = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        ann = vad.predict({"audio": loud, "time_stamp": 0.0})
+        assert ann["status"] == "ipu_sl"
+
+    def test_noise_floor_recovers_after_speech(self):
+        """After speech ends the floor snaps back down to the quiet minimum
+        (minimum statistics), so a later soft utterance is still detected."""
+        from freeze_omni_tpu.config import VADConfig
+        from freeze_omni_tpu.duplex.vad import EnergyVAD
+
+        vad = EnergyVAD(VADConfig(chunk_size=512))
+        t = np.arange(512) / 16000
+        quiet = (1e-4 * np.random.RandomState(0).randn(512)).astype(np.float32)
+        loud = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        soft = (0.02 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+        for _ in range(3):
+            vad.predict({"audio": quiet, "time_stamp": 0.0})
+        for _ in range(5):
+            vad.predict({"audio": loud, "time_stamp": 0.0})
+        for _ in range(vad.min_silence_chunks + 1):
+            vad.predict({"audio": quiet, "time_stamp": 0.0})
+        assert vad.noise_floor < 5e-4
+        ann = vad.predict({"audio": soft, "time_stamp": 0.0})
+        assert ann["status"] == "ipu_sl"
