@@ -41,12 +41,13 @@ V5E_HBM_GBS = 819.0       # v5e HBM bandwidth
 V5E_PEAK_BF16 = 197e12    # v5e bf16 MXU peak FLOP/s
 
 
-def _bench_params(cfg, llm_dtype, quant, seed=0):
-    """Init the full param tree; int8 backbone when quant."""
+def _bench_params(cfg, llm_dtype, quant, seed=0, wbits=8):
+    """Init the full param tree; int8/int4 backbone when quant."""
     from freeze_omni_tpu.models import audio_llm
 
     return audio_llm.init_params(jax.random.PRNGKey(seed), cfg.audio_llm,
-                                 llm_dtype=llm_dtype, quantize_llm=quant)
+                                 llm_dtype=llm_dtype, quantize_llm=quant,
+                                 quant_bits=wbits)
 
 
 def _llm_footprint(params):
@@ -283,6 +284,9 @@ def main():
                    help="int8 weight-only LLM (default; --no-quant = bf16, "
                         "which at 28 layers no longer fits one chip alongside "
                         "embeddings: use fewer layers or TP)")
+    p.add_argument("--wbits", type=int, default=8, choices=[8, 4],
+                   help="weight-only quantization bits (4 = grouped int4, "
+                        "half the HBM weight traffic of int8 again)")
     args = p.parse_args()
 
     from freeze_omni_tpu.config import (LLMConfig, SamplingConfig, flagship_system,
@@ -319,9 +323,10 @@ def main():
 
     t0 = time.time()
     params = audio_llm.init_params(jax.random.PRNGKey(0), acfg,
-                                   llm_dtype=llm_dtype, quantize_llm=quant)
+                                   llm_dtype=llm_dtype, quantize_llm=quant,
+                                   quant_bits=args.wbits)
     if quant:
-        log("LLM weights int8 weight-only (layers + embeddings)")
+        log(f"LLM weights int{args.wbits} weight-only (layers + embeddings)")
 
     if args.mode == "throughput":
         throughput_bench(cfg, args, params)

@@ -65,10 +65,11 @@ def reset_audio_caches(cfg: AudioLLMConfig, caches: SessionCaches) -> SessionCac
 
 
 def init_params(key, cfg: AudioLLMConfig, llm_dtype=jnp.float32,
-                quantize_llm: bool = False) -> dict:
+                quantize_llm: bool = False, quant_bits: int = 8) -> dict:
     """quantize_llm: init the frozen backbone directly in weight-only int8
     (ops/quant.init_quantized_llm) — 7.1 GiB resident for 28-layer 7B dims,
-    never materializing the bf16 tree."""
+    never materializing the bf16 tree. quant_bits=4 uses grouped int4
+    (3.6 GiB; ops/quant.quantize_linear_int4)."""
     if quantize_llm:
         from ..ops.quant import init_quantized_llm
     ks = jax.random.split(key, 8)
@@ -77,7 +78,8 @@ def init_params(key, cfg: AudioLLMConfig, llm_dtype=jnp.float32,
         "encoder_system": encoder_mod.init_params(ks[1], cfg.encoder),
         "adapter_user": adapter_mod.init_params(ks[2], cfg.adapter),
         "adapter_system": adapter_mod.init_params(ks[3], cfg.adapter),
-        "llm": (init_quantized_llm(ks[4], cfg.llm, dtype=jnp.bfloat16)
+        "llm": (init_quantized_llm(ks[4], cfg.llm, dtype=jnp.bfloat16,
+                                   bits=quant_bits)
                 if quantize_llm
                 else qwen2.init_params(ks[4], cfg.llm, dtype=llm_dtype)),
         # 4-logit state head (audioLLM.py:214-217)

@@ -103,3 +103,41 @@ class TestQuant:
         want = x @ dequantize_weight_int4(q, jnp.float32) + b
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
+
+    def test_llm_forward_with_int4_weights(self):
+        """Grouped int4: forward stays close to full precision and the layer
+        stack shrinks ~2x below int8."""
+        from freeze_omni_tpu.ops.quant import (quantize_llm_params,
+                                               quantized_bytes)
+        import freeze_omni_tpu.ops.quant as quant_mod
+        from freeze_omni_tpu.config import LLMConfig
+        from freeze_omni_tpu.models import qwen2
+
+        cfg = LLMConfig(hidden=256, num_layers=2, num_heads=4, num_kv_heads=2,
+                        ffn=512, vocab_size=128, max_kv_len=64)
+        params = qwen2.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+        # int4-quantize the projections via the same grouped path the init
+        # uses (group must divide the smallest K=256)
+        q4 = dict(params)
+        layers = dict(params["layers"])
+        for name in ("q", "k", "v", "o", "gate", "up", "down"):
+            layers[name] = quant_mod.quantize_linear_int4(layers[name],
+                                                          group=128)
+        q4["layers"] = layers
+
+        ids = jnp.asarray([[3, 14, 15, 9, 2]])
+        embeds = qwen2.embed_tokens(params, ids)
+        cache = qwen2.init_cache(cfg, 1, dtype=jnp.float32)
+        h_ref, _ = qwen2.forward(params, cfg, embeds,
+                                 jnp.ones((1, 5), bool), cache)
+        cache2 = qwen2.init_cache(cfg, 1, dtype=jnp.float32)
+        h_q, _ = qwen2.forward(q4, cfg, embeds,
+                               jnp.ones((1, 5), bool), cache2)
+        rel = np.abs(np.asarray(h_q) - np.asarray(h_ref)).max() / \
+            (np.abs(np.asarray(h_ref)).max() + 1e-6)
+        assert rel < 0.15, rel  # 4-bit grouped: coarser than int8 but sane
+
+        b8 = quantized_bytes(quantize_llm_params(params)["layers"])
+        b4 = quantized_bytes(q4["layers"])
+        assert b4 < 0.62 * b8
