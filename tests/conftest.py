@@ -26,5 +26,5 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(__file__), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
