@@ -449,7 +449,7 @@ def main():
             "baseline_p50_ms": BASELINE_P50_MS,
             "llm_layers": acfg.llm.num_layers,
             "full_depth_7b": full_depth,
-            "llm_weights": ("int8 weight-only" if quant
+            "llm_weights": (f"int{args.wbits} weight-only" if quant
                             else llm_dtype.__name__),
             "throughput": tput,
             "note": "vs_baseline = ours/reference (<1 is faster), reported "

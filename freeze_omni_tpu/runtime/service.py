@@ -149,8 +149,12 @@ class DuplexService:
                     break
                 taken.add(ident)
                 worked = True
-                self.engine.submit_chunk(sid, ident, feat["feature"],
-                                         is_sl=(feat["status"] == "ipu_sl"))
+                try:  # the session may close concurrently (websocket thread)
+                    self.engine.submit_chunk(
+                        sid, ident, feat["feature"],
+                        is_sl=(feat["status"] == "ipu_sl"))
+                except KeyError:
+                    break
                 if ident == "user":
                     submitted[sid] = feat
 
