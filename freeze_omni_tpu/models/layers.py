@@ -39,12 +39,24 @@ QUANT_USE_PALLAS = False
 
 def linear(p, x):
     if "w_q4" in p:
-        # int4 weight-only (ops/quant.quantize_linear_int4): XLA fuses the
-        # nibble unpack + grouped dequant into the matmul operand read
-        from ..ops.quant import dequantize_weight_int4
+        # int4 weight-only (ops/quant.quantize_linear_int4). On TPU the
+        # Pallas kernel keeps weights packed into VMEM (XLA does NOT fuse
+        # the nibble unpack — measured 173 ms/token vs the kernel's
+        # HBM-bound path); elsewhere fall back to the XLA dequant.
+        if jax.default_backend() == "tpu" and p["w_q4"].ndim == 2:
+            from ..ops.quant_matmul import pick_block_o, quant_matmul4
 
-        w = dequantize_weight_int4(p, dtype=x.dtype)
-        y = jnp.einsum("...i,io->...o", x, w)
+            Kp, O = p["w_q4"].shape
+            group = (2 * Kp) // p["scale4"].shape[-2]
+            lead = x.shape[:-1]
+            y = quant_matmul4(x.reshape(-1, 2 * Kp), p["w_q4"], p["scale4"],
+                              group=group,
+                              block_o=pick_block_o(O)).reshape(*lead, O)
+        else:
+            from ..ops.quant import dequantize_weight_int4
+
+            w = dequantize_weight_int4(p, dtype=x.dtype)
+            y = jnp.einsum("...i,io->...o", x, w)
     elif "w_q" in p:
         # weight-only int8 (ops/quant.py)
         if (QUANT_USE_PALLAS and jax.default_backend() == "tpu"

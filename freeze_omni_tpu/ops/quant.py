@@ -35,7 +35,9 @@ def dequantize_weight(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (p["w_q"].astype(jnp.float32) * p["scale"][..., None, :]).astype(dtype)
 
 
-INT4_GROUP = 128  # input-dim group size for int4 scales (AWQ/GPTQ practice)
+INT4_GROUP = 64  # input-dim group size for int4 scales (sized so the
+# Pallas kernel gets 8 scale groups per 256-packed-row k-step — a legal
+# Mosaic block; finer groups also quantize better than the common 128)
 
 
 def quantize_linear_int4(p: dict, group: int = INT4_GROUP) -> dict:

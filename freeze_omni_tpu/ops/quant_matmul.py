@@ -82,3 +82,112 @@ def pick_blocks(K: int, O: int):
 
     return pick(K, (1792, 1024, 512, 896, 256, 128)), \
         pick(O, (512, 896, 448, 256, 128))
+
+
+# ---------------------------------------------------------------------------
+# int4 (grouped) dequant matmul
+# ---------------------------------------------------------------------------
+#
+# XLA does NOT fuse the nibble unpack of packed int4 into the matmul operand
+# read (measured 173 ms/token for the 28-layer 7B decode scan vs int8's
+# 10.8 ms — the dequantized weights materialize). This kernel keeps weights
+# packed all the way into VMEM and dequantizes there.
+#
+# MEASURED (v5e, full 28-layer 7B decode): this kernel 22.7 ms/token B=1
+# (44 tok/s) vs the int8 XLA path's 10.75 ms (93 tok/s) — per-pallas_call
+# overhead inside the layer scan (~0.1 ms x 196 matmuls/token) swamps the
+# halved weight traffic at decode shapes, the same conclusion as the int8
+# kernel A/B above. int4 therefore remains an OPT-IN memory-footprint lever
+# (3.6 GiB vs 7.1 GiB resident for the backbone — room for longer KV or a
+# second model on one chip), not the production decode path: int8 + XLA
+# dequant stays the default.
+#
+# Packing (ops/quant.quantize_linear_int4): packed[i, o] holds unpacked rows
+# 2i (low nibble) and 2i+1 (high nibble). Instead of interleaving rows
+# in-kernel (an awkward sublane relayout), the CALLER splits the activation
+# columns once: y = x[:, 0::2] @ lo + x[:, 1::2] @ hi — two clean dots per
+# tile against the nibble planes.
+
+
+def _kernel4(xe_ref, xo_ref, w_ref, s_ref, o_ref, *, g_per_block: int,
+             rows_per_group: int, block_o: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    s = s_ref[:]                       # [g_per_block, BO] — this step's groups
+    rows = jnp.broadcast_to(
+        s[:, None, :], (g_per_block, rows_per_group, block_o)
+    ).reshape(g_per_block * rows_per_group, block_o)  # [BKP, BO]
+    # Mosaic supports neither uint8 casts nor int8 vector arithmetic: the
+    # packed bytes arrive bitcast to int8, widen to int32, recover the
+    # unsigned byte, and do the nibble math in int32
+    w4 = w_ref[:].astype(jnp.int32) & 0xFF   # [BKP, BO] 0..255
+    lo = ((w4 & 0xF) - 8).astype(jnp.float32) * rows
+    hi = (((w4 >> 4) & 0xF) - 8).astype(jnp.float32) * rows
+    o_ref[:] += (
+        jax.lax.dot(xe_ref[:].astype(jnp.float32), lo,
+                    preferred_element_type=jnp.float32)
+        + jax.lax.dot(xo_ref[:].astype(jnp.float32), hi,
+                      preferred_element_type=jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("group", "block_kp", "block_o",
+                                             "interpret"))
+def quant_matmul4(x, w_q4, scale4, group: int = 64, block_kp: int = 256,
+                  block_o: int = 512, interpret: bool = False):
+    """x: [N, K] float; w_q4: [K/2, O] packed uint8; scale4: [K/group, O]
+    f32 -> [N, O] in x.dtype.
+
+    Mosaic tiling constraints shape the defaults: xe/xo/w blocks need a
+    lane/sublane dim that is a multiple of (8, 128), and the scale block's
+    sublane dim (groups per k-step) must be a multiple of 8 — group=64 with
+    block_kp=256 packed rows gives exactly 8 scale groups per step."""
+    N, K = x.shape
+    Kp, O = w_q4.shape
+    assert K == 2 * Kp and K % group == 0 and O % block_o == 0, \
+        (K, Kp, O, group, block_o)
+    block_kp = min(block_kp, Kp)
+    assert Kp % block_kp == 0 and block_kp % (group // 2) == 0, \
+        (Kp, block_kp, group)
+    g_per_block = (2 * block_kp) // group
+
+    xe = x[:, 0::2]                    # [N, Kp] — even unpacked rows
+    xo = x[:, 1::2]
+    n_pad = (-N) % 8
+    if n_pad:
+        xe = jnp.pad(xe, ((0, n_pad), (0, 0)))
+        xo = jnp.pad(xo, ((0, n_pad), (0, 0)))
+    Np = xe.shape[0]
+
+    kern = functools.partial(_kernel4, g_per_block=g_per_block,
+                             rows_per_group=group // 2, block_o=block_o)
+    out = pl.pallas_call(
+        kern,
+        grid=(O // block_o, Kp // block_kp),
+        in_specs=[
+            pl.BlockSpec((Np, block_kp), lambda o, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, block_kp), lambda o, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_kp, block_o), lambda o, k: (k, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_per_block, block_o), lambda o, k: (k, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Np, block_o), lambda o, k: (0, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(xe, xo, jax.lax.bitcast_convert_type(w_q4, jnp.int8),
+      scale4.astype(jnp.float32))
+    return out[:N].astype(x.dtype)
+
+
+def pick_block_o(O: int) -> int:
+    for c in (512, 896, 448, 256, 128):
+        if O % c == 0:
+            return c
+    return O

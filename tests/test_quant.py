@@ -78,7 +78,7 @@ class TestQuant:
                                                quantize_linear_int4)
 
         w = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 64)) * 0.1
-        q = quantize_linear_int4({"w": w, "b": jnp.zeros((2, 64))})
+        q = quantize_linear_int4({"w": w, "b": jnp.zeros((2, 64))}, group=128)
         assert q["w_q4"].shape == (2, 128, 64) and q["w_q4"].dtype == jnp.uint8
         assert q["scale4"].shape == (2, 2, 64)  # 256/128 groups
         deq = dequantize_weight_int4(q, dtype=jnp.float32)
@@ -141,3 +141,20 @@ class TestQuant:
         b8 = quantized_bytes(quantize_llm_params(params)["layers"])
         b4 = quantized_bytes(q4["layers"])
         assert b4 < 0.62 * b8
+
+    def test_pallas_int4_matmul_matches_dequant(self):
+        """quant_matmul4 (interpret mode): packed-int4 kernel == XLA dequant
+        reference, including multi-group scales and row padding."""
+        from freeze_omni_tpu.ops.quant import (dequantize_weight_int4,
+                                               quantize_linear_int4)
+        from freeze_omni_tpu.ops.quant_matmul import quant_matmul4
+
+        K, O = 256, 128
+        w = jax.random.normal(jax.random.PRNGKey(0), (K, O)) * 0.1
+        q = quantize_linear_int4({"w": w}, group=128)  # 2 scale groups
+        x = jax.random.normal(jax.random.PRNGKey(1), (3, K))
+        want = x @ dequantize_weight_int4(q, jnp.float32)
+        got = quant_matmul4(x, q["w_q4"], q["scale4"], group=128,
+                            block_o=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
