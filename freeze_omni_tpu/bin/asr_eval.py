@@ -119,6 +119,9 @@ def main(argv=None):
     p.add_argument("--model_path", default=None,
                    help="reference checkpoint dir (enables real-weight eval)")
     p.add_argument("--llm_path", default=None)
+    p.add_argument("--quant", default=0, type=int, choices=[0, 8, 4],
+                   help="weight-only quantization bits for the loaded LLM "
+                        "(8 required to fit the 7B on one 16 GB chip)")
     p.add_argument("--manifest", required=True,
                    help="tsv: wav_path<TAB>transcript per line")
     p.add_argument("--char_level", action="store_true",
@@ -142,7 +145,8 @@ def main(argv=None):
         from ..utils.factory import build_system_from_reference
 
         cfg, audiollm_params, _, tokenizer = build_system_from_reference(
-            args.model_path, args.llm_path)
+            args.model_path, args.llm_path,
+            quantize_llm_bits=args.quant or None)
         pipeline = InferencePipeline(cfg, params=audiollm_params,
                                      tokenizer=tokenizer, seed=args.seed)
     else:

@@ -44,6 +44,11 @@ def get_args(argv=None):
     p.add_argument("--model_path", default=None,
                    help="reference checkpoint dir (loads converted weights)")
     p.add_argument("--llm_path", default=None)
+    p.add_argument("--quant", default=None, type=int, choices=[0, 8, 4],
+                   help="weight-only quantization bits for a loaded LLM "
+                        "(0 = off). Default: 8 when --model_path is given "
+                        "without --tp — the bf16 7B does not fit one 16 GB "
+                        "chip; 0 under --tp (bf16 shards over the mesh)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--max_sessions", type=int, default=8)
@@ -107,9 +112,13 @@ class Server:
         if args.model_path:
             from ..utils.factory import build_system_from_reference
 
+            quant = args.quant
+            if quant is None:
+                quant = 0 if args.tp > 1 else 8
             (self.cfg, self._ckpt_params, self._ckpt_tts,
              self._tokenizer) = build_system_from_reference(
-                args.model_path, args.llm_path)
+                args.model_path, args.llm_path,
+                quantize_llm_bits=quant or None)
         else:
             self.cfg = base_cfg or (tiny_system() if args.preset == "tiny"
                                     else flagship_system())

@@ -86,7 +86,8 @@ def quantize_embedding(p: dict) -> dict:
             "scale": scale[..., 0].astype(jnp.float32)}
 
 
-def quantize_llm_params(params: dict, quantize_embeddings: bool = True) -> dict:
+def quantize_llm_params(params: dict, quantize_embeddings: bool = True,
+                        bits: int = 8) -> dict:
     """Quantize the transformer layer projections (q/k/v/o/gate/up/down) and —
     by default — the token embedding (per-row) and lm_head (per-column); norms
     stay full precision.
@@ -98,23 +99,24 @@ def quantize_llm_params(params: dict, quantize_embeddings: bool = True) -> dict:
     group at a time under jit so the bf16 source and the int8 copy of only
     ONE group coexist; round 1's 'int8 in loops OOMs' was a misdiagnosed init
     peak (whole bf16 tree + whole int8 tree resident together)."""
+    quantizer = quantize_linear if bits == 8 else quantize_linear_int4
     out = dict(params)
     layers = dict(params["layers"]) if isinstance(params["layers"], dict) else \
         params["layers"]
     if isinstance(layers, dict):
-        q = jax.jit(quantize_linear)
+        q = jax.jit(quantizer)
         for name in ("q", "k", "v", "o", "gate", "up", "down"):
             layers[name] = jax.block_until_ready(q(layers[name]))
         out["layers"] = layers
     else:  # legacy per-layer list
         out["layers"] = [
-            {**lp, **{n: quantize_linear(lp[n])
+            {**lp, **{n: quantizer(lp[n])
                       for n in ("q", "k", "v", "o", "gate", "up", "down")}}
             for lp in layers]
     if quantize_embeddings:
         out["embed"] = quantize_embedding(params["embed"])
         if "lm_head" in params:
-            out["lm_head"] = quantize_linear(params["lm_head"])
+            out["lm_head"] = quantizer(params["lm_head"])
     return out
 
 

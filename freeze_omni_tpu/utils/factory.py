@@ -140,14 +140,36 @@ def load_tokenizer(llm_path: str, vocab_size: int):
         return ByteTokenizer(vocab_size)
 
 
-def build_system_from_reference(model_path: str, llm_path: str
+def build_system_from_reference(model_path: str, llm_path: str, *,
+                                quantize_llm_bits: Optional[int] = None
                                 ) -> Tuple[SystemConfig, dict, dict, object]:
     """Full parity loader: returns (system config, audio_llm params incl. LLM,
-    tts params {'decoder','codec'}, tokenizer)."""
+    tts params {'decoder','codec'}, tokenizer).
+
+    quantize_llm_bits: 8 (or 4) quantizes the frozen backbone weight-only ON
+    THE HOST CPU before it ever reaches the accelerator — the bf16 7B is
+    13.2 GiB, which cannot coexist with its quantized copy (or a KV cache)
+    on one 16 GB chip. Serving the real 28-layer model single-chip requires
+    int8 (7.1 GiB resident; bench-validated at 93 tok/s decode)."""
     import dataclasses
 
+    import jax
+
     acfg, audiollm = load_audiollm(model_path)
-    llm_cfg, audiollm["llm"] = load_llm(llm_path, acfg)
+    cpu = jax.local_devices(backend="cpu")[0]
+    if quantize_llm_bits:
+        # keep the bf16 tree + quantization math off the accelerator
+        with jax.default_device(cpu):
+            llm_cfg, llm_params = load_llm(llm_path, acfg)
+            from ..ops.quant import quantize_llm_params
+
+            llm_params = quantize_llm_params(llm_params,
+                                             bits=quantize_llm_bits)
+        audiollm["llm"] = jax.device_put(
+            llm_params, jax.devices()[0]) if jax.devices()[0] != cpu \
+            else llm_params
+    else:
+        llm_cfg, audiollm["llm"] = load_llm(llm_path, acfg)
     acfg = dataclasses.replace(acfg, llm=llm_cfg)
     dcfg, dec = load_speech_decoder(model_path)
     ccfg, codec = load_codec(model_path)

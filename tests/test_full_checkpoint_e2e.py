@@ -250,3 +250,37 @@ class TestFullCheckpointWorkflow:
         got = server.responder.tts.params["codec"]["quantizer"]["codebooks"]
         want = tts["codec"]["quantizer"]["codebooks"]
         np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]))
+
+    def test_factory_quantizes_llm_on_load(self, tmp_path):
+        """quantize_llm_bits=8: the converted backbone comes back weight-only
+        int8 (the bf16 7B cannot fit one 16 GB chip next to its KV), and the
+        quantized forward stays close to the bf16 one."""
+        import jax
+        import jax.numpy as jnp
+
+        _make_audiollm_ckpt(tmp_path)
+        _make_hf_llm(tmp_path)
+        _make_decoder_ckpt(tmp_path)
+        _make_codec_ckpt(tmp_path)
+
+        from freeze_omni_tpu.models import qwen2
+        from freeze_omni_tpu.utils.factory import build_system_from_reference
+
+        cfg, full, _, _ = build_system_from_reference(
+            str(tmp_path), str(tmp_path / "llm"))
+        cfg_q, quant, _, _ = build_system_from_reference(
+            str(tmp_path), str(tmp_path / "llm"), quantize_llm_bits=8)
+        assert "w_q" in quant["llm"]["layers"]["q"]
+        assert quant["llm"]["layers"]["q"]["w_q"].dtype == jnp.int8
+
+        ids = jnp.asarray([[3, 5, 7]])
+        emb_f = qwen2.embed_tokens(full["llm"], ids).astype(jnp.float32)
+        kv_f = qwen2.init_cache(cfg.audio_llm.llm, 1, dtype=jnp.float32)
+        h_f, _ = qwen2.forward(full["llm"], cfg.audio_llm.llm, emb_f,
+                               jnp.ones((1, 3), bool), kv_f)
+        kv_q = qwen2.init_cache(cfg_q.audio_llm.llm, 1, dtype=jnp.float32)
+        h_q, _ = qwen2.forward(quant["llm"], cfg_q.audio_llm.llm, emb_f,
+                               jnp.ones((1, 3), bool), kv_q)
+        rel = np.abs(np.asarray(h_q) - np.asarray(h_f)).max() / \
+            (np.abs(np.asarray(h_f)).max() + 1e-6)
+        assert rel < 0.05, rel
