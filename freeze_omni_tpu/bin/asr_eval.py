@@ -78,7 +78,8 @@ def batched_transcribe(pipeline, cfg, wavs, max_tokens: int,
 
     chunkers = [OfflineChunker(cfg.chunker) for _ in range(B)]
     chunk = chunkers[0].get_chunk_size()
-    n_chunks = max(int(math.ceil(len(w) / chunk)) for w in wavs)
+    row_chunks = [int(math.ceil(len(w) / chunk)) for w in wavs]
+    n_chunks = max(row_chunks)
     padded = np.zeros((B, n_chunks * chunk), np.float32)
     for b, w in enumerate(wavs):
         padded[b, : len(w)] = w
@@ -87,9 +88,14 @@ def batched_transcribe(pipeline, cfg, wavs, max_tokens: int,
             [chunkers[b].process(padded[b, ci * chunk: (ci + 1) * chunk])
              for b in range(B)], axis=0)
         is_sl = jnp.asarray([ci == 0] * B)
+        # rows whose utterance already ended leave their caches untouched —
+        # a shorter wav's context must not depend on its batch partners'
+        # lengths (zero-pad chunks would otherwise prefill as real audio)
+        active = jnp.asarray([ci < row_chunks[b] for b in range(B)])
         _, caches = core._recognize(core.params, acfg, "user",
                                     jnp.asarray(feats), is_sl,
-                                    core.user_prefix_embeds, caches)
+                                    core.user_prefix_embeds, caches,
+                                    active=active)
 
     if not hasattr(batched_transcribe, "_gen"):
         batched_transcribe._gen = jax.jit(
@@ -154,36 +160,47 @@ def main(argv=None):
         pipeline = InferencePipeline(cfg, seed=args.seed)
     chunker = OfflineChunker(cfg.chunker)
 
+    # manifest pass holds only (path, ref, n_frames) — a full eval set's
+    # decoded audio (GBs of float32) is never resident at once; wavs load
+    # one-at-a-time (serial) or one group at a time (--batch)
+    import wave as _wave
+
     utts = []
     with open(args.manifest) as f:
         for line in f:
             if not line.strip():
                 continue
             path, ref = line.rstrip("\n").split("\t", 1)
-            wav, sr = read_wav(path)
-            if wav.ndim > 1:
-                wav = wav.mean(axis=1)
-            if sr != 16000:
-                wav = resample(wav, sr, 16000)
-            utts.append((wav, ref))
+            with _wave.open(path, "rb") as w:
+                frames = w.getnframes()
+            utts.append((path, ref, frames))
             if args.max_utts and len(utts) >= args.max_utts:
                 break
+
+    def load(path):
+        wav, sr = read_wav(path)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=1)
+        if sr != 16000:
+            wav = resample(wav, sr, 16000)
+        return wav
 
     pairs = []
     if args.batch > 1:
         # sort by length so padding within a batch stays small
-        order = sorted(range(len(utts)), key=lambda i: len(utts[i][0]))
+        order = sorted(range(len(utts)), key=lambda i: utts[i][2])
         for s in range(0, len(order), args.batch):
             group = [utts[i] for i in order[s: s + args.batch]]
-            hyps = batched_transcribe(pipeline, cfg, [w for w, _ in group],
+            hyps = batched_transcribe(pipeline, cfg,
+                                      [load(p) for p, _, _ in group],
                                       args.max_tokens)
-            for (_, ref), hyp in zip(group, hyps):
+            for (_, ref, _), hyp in zip(group, hyps):
                 pairs.append((ref, hyp))
                 print(f"[{len(pairs)}] ref={ref[:40]!r} hyp={hyp[:40]!r}",
                       file=sys.stderr)
     else:
-        for wav, ref in utts:
-            hyp = transcribe(pipeline, chunker, wav, args.max_tokens)
+        for path, ref, _ in utts:
+            hyp = transcribe(pipeline, chunker, load(path), args.max_tokens)
             pairs.append((ref, hyp))
             print(f"[{len(pairs)}] ref={ref[:40]!r} hyp={hyp[:40]!r}",
                   file=sys.stderr)

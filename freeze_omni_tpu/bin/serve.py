@@ -81,6 +81,9 @@ class Server:
         from ..pipeline import DuplexPipeline
 
         self.args = args
+        if args.tp > 1 and not args.engine:
+            raise SystemExit("--tp requires --engine (the per-session "
+                             "pipeline path is single-device)")
         self._ckpt_params = None
         self._ckpt_tts = None
         self._tokenizer = None
@@ -112,9 +115,15 @@ class Server:
         if args.model_path:
             from ..utils.factory import build_system_from_reference
 
+            use_tp = args.tp > 1 and args.engine  # --tp only acts with --engine
             quant = args.quant
             if quant is None:
-                quant = 0 if args.tp > 1 else 8
+                quant = 0 if use_tp else 8
+            if quant and use_tp:
+                raise SystemExit(
+                    "--quant with --tp is unsupported (the TP PartitionSpecs "
+                    "cover bf16 trees, not quantized ones); use --quant 0 "
+                    "with --tp, or --quant 8 single-chip")
             (self.cfg, self._ckpt_params, self._ckpt_tts,
              self._tokenizer) = build_system_from_reference(
                 args.model_path, args.llm_path,
@@ -169,12 +178,23 @@ class Server:
             self._svc_stop = threading.Event()
 
             def ticker():
+                import time as _time
+
+                last_err = [0.0]
+
+                def log_err(e):
+                    now = _time.monotonic()
+                    if now - last_err[0] > 5.0:  # rate-limit a poisoned tick
+                        print(f"ticker error: {e!r}", file=sys.stderr)
+                        last_err[0] = now
+
                 while not self._svc_stop.is_set():
                     try:
                         worked = self.service.step()
                     except Exception as e:  # a poisoned tick must not kill
-                        print(f"ticker error: {e!r}", file=sys.stderr)
+                        log_err(e)
                         worked = False
+                        self._svc_stop.wait(0.25)  # backoff while failing
                     if not worked:
                         self._svc_stop.wait(0.01)
 

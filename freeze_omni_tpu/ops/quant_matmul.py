@@ -72,16 +72,21 @@ def quant_matmul(x, w_q, scale, block_k: int = 1792, block_o: int = 512,
     return out[:N].astype(x.dtype)
 
 
+def _pick(n: int, candidates) -> int:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return n
+
+
 def pick_blocks(K: int, O: int):
     """Largest VMEM-friendly blocks that divide the dims."""
-    def pick(n, candidates):
-        for c in candidates:
-            if n % c == 0:
-                return c
-        return n
+    return _pick(K, (1792, 1024, 512, 896, 256, 128)), \
+        _pick(O, (512, 896, 448, 256, 128))
 
-    return pick(K, (1792, 1024, 512, 896, 256, 128)), \
-        pick(O, (512, 896, 448, 256, 128))
+
+def pick_block_o(O: int) -> int:
+    return _pick(O, (512, 896, 448, 256, 128))
 
 
 # ---------------------------------------------------------------------------
@@ -186,8 +191,3 @@ def quant_matmul4(x, w_q4, scale4, group: int = 64, block_kp: int = 256,
     return out[:N].astype(x.dtype)
 
 
-def pick_block_o(O: int) -> int:
-    for c in (512, 896, 448, 256, 128):
-        if O % c == 0:
-            return c
-    return O

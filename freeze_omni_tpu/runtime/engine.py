@@ -125,8 +125,11 @@ class ServingEngine:
         """fbank_chunk: [1, T_f, 80]. One chunk per (session, identity, tick);
         a second submit before the tick overwrites (the reference's serializer
         guarantees ordering upstream)."""
-        slot = self.store.slot_of(sid)
         with self._lock:
+            # resolve + write atomically: close_session/open_session (same
+            # lock) may recycle this slot, and a stale chunk must never be
+            # attributed to the slot's new occupant
+            slot = self.store.slot_of(sid)
             self._pending[identity][slot] = (np.asarray(fbank_chunk, np.float32),
                                              bool(is_sl))
 
@@ -277,6 +280,22 @@ class ServingEngine:
     # response generation (per session, on the shared batched caches)
     # ------------------------------------------------------------------
 
+    def _resolve_slots(self, sids: List[str]):
+        """Atomically resolve sids -> slots, dropping sessions that closed
+        (the websocket thread may close/recycle concurrently)."""
+        with self._lock:
+            return [(sid, self.store.slot_of(sid)) for sid in sids
+                    if self.store.has(sid)]
+
+    def _still_current(self, pairs):
+        """Rows of a batched result whose (sid, slot) mapping survived the
+        dispatch — only those KV rows are scattered back."""
+        with self._lock:
+            keep = [(i, slot) for i, (sid, slot) in enumerate(pairs)
+                    if self.store.has(sid)
+                    and self.store.slot_of(sid) == slot]
+        return [i for i, _ in keep], [s for _, s in keep]
+
     def respond(self, sid: str, responder) -> list:
         """Generate a spoken response for one session using its slot's shared
         KV context: gather the slot, run the DuplexResponder (on-device text
@@ -316,7 +335,11 @@ class ServingEngine:
         self._maybe_roll_kv()  # capacity headroom before appending responses
         core = self.core
         cfg = self.cfg
-        slots = [self.store.slot_of(s) for s in sids]
+        pairs = self._resolve_slots(sids)
+        if not pairs:
+            return {}
+        sids = [sid for sid, _ in pairs]
+        slots = [slot for _, slot in pairs]
         n = len(slots)
         B = 1 << (n - 1).bit_length()          # bucket: next power of two
         kv = self.store.gather_kv_many(slots + [slots[0]] * (B - n))
@@ -335,12 +358,14 @@ class ServingEngine:
                 eod_id=core.tokenizer.eod_id, global_tokens=gt,
                 penalty_window=cfg.tts.penalty_window_size,
                 penalty=cfg.tts.penalty)
-        # stays on-device (no host sync); padded rows are not written back
-        self.store.scatter_kv_many(slots, kv)
+        # stays on-device (no host sync); padded rows — and rows whose
+        # session closed mid-dispatch — are not written back
+        rows, kept_slots = self._still_current(pairs)
+        self.store.scatter_kv_many(kept_slots, kv, rows=rows)
         pcm_np, toks_np, nv, len_np = jax.device_get(
             (pcm, toks, n_valid, kv.length))  # ONE sync
         if self._len_host is not None:
-            for i, slot in enumerate(slots):
+            for i, slot in zip(rows, kept_slots):
                 self._len_host[slot] = len_np[i]
         out = {}
         for i, sid in enumerate(sids):
@@ -366,8 +391,11 @@ class ServingEngine:
         if not last_tokens:
             return {}
         self._maybe_roll_kv()
-        sids = list(last_tokens)
-        slots = [self.store.slot_of(s) for s in sids]
+        pairs = self._resolve_slots(list(last_tokens))
+        if not pairs:
+            return {}
+        sids = [sid for sid, _ in pairs]
+        slots = [slot for _, slot in pairs]
         n = len(slots)
         B = 1 << (n - 1).bit_length()
         kv = self.store.gather_kv_many(slots + [slots[0]] * (B - n))
@@ -383,11 +411,12 @@ class ServingEngine:
                 self.core.params, self.cfg.audio_llm, tok0, kv,
                 rng if rng is not None else self.core.next_key(),
                 self.cfg.sampling, n_steps=n_steps, eod_id=eod)
-        self.store.scatter_kv_many(slots, kv)
+        rows, kept_slots = self._still_current(pairs)
+        self.store.scatter_kv_many(kept_slots, kv, rows=rows)
         toks_np, hid_np, done_np, len_np = jax.device_get(
             (toks, hiddens, done, kv.length))
         if self._len_host is not None:
-            for i, slot in enumerate(slots):
+            for i, slot in zip(rows, kept_slots):
                 self._len_host[slot] = len_np[i]
         hid_np = np.asarray(hid_np, np.float32)
         out = {}

@@ -136,16 +136,20 @@ class SessionStore:
         return jax.tree.map(lambda leaf, ax: jnp.take(leaf, idx, axis=ax),
                             kv, kv_axes)
 
-    def scatter_kv_many(self, slots: List[int], kv: qwen2.KVCache) -> None:
+    def scatter_kv_many(self, slots: List[int], kv: qwen2.KVCache,
+                        rows: Optional[List[int]] = None) -> None:
         """Write batch-B KV rows back into their slots. `kv` may carry MORE
-        rows than `slots` (bucket padding); only the first len(slots) rows
-        land."""
+        rows than `slots` (bucket padding); by default row i lands in
+        slots[i]. `rows` selects which kv rows land (parallel to `slots`) —
+        callers drop rows whose session closed mid-flight."""
+        if not slots:
+            return
         idx = np.asarray(slots)
-        n = len(slots)
+        r = jnp.asarray(rows if rows is not None else list(range(len(slots))))
         kv_axes = qwen2.KVCache(k=1, v=1, length=0)
 
         def put(new, full, ax):
-            take = jax.lax.slice_in_dim(new, 0, n, axis=ax)
+            take = jnp.take(new, r, axis=ax)
             moved = jnp.moveaxis(full, ax, 0)
             moved = moved.at[idx].set(
                 jnp.moveaxis(take, ax, 0).astype(full.dtype))
