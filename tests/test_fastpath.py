@@ -270,3 +270,52 @@ class TestFastPath:
             np.testing.assert_array_equal(np.asarray(row.k)[:, 0],
                                           np.asarray(kv_m.k)[:, i])
             assert engine.store.kv_length(slots[i]) > lengths_before[i]
+
+
+class TestConcurrentCloseSafety:
+    def test_scatter_rows_subset(self):
+        """scatter_kv_many(rows=...) lands only the selected kv rows."""
+        from freeze_omni_tpu.runtime.session import SessionStore
+
+        sys_cfg = tiny_system()
+        store = SessionStore(sys_cfg.audio_llm, 4)
+        for sid in ("a", "b", "c"):
+            store.alloc(sid)
+        slots = [store.slot_of(s) for s in ("a", "b", "c")]
+        kv = store.gather_kv_many(slots)
+        kv2 = jax.tree.map(lambda x: x + 1, kv)
+        # only rows 0 and 2 (sessions a, c) land
+        store.scatter_kv_many([slots[0], slots[2]], kv2, rows=[0, 2])
+        for i, s in enumerate(("a", "b", "c")):
+            row = store.gather_kv(store.slot_of(s))
+            delta = 1 if s in ("a", "c") else 0
+            np.testing.assert_array_equal(np.asarray(row.k)[:, 0],
+                                          np.asarray(kv.k)[:, i] + delta)
+
+    def test_respond_fast_many_skips_closed_sessions(self):
+        """A sid that closed between the decision and the dispatch is
+        silently dropped instead of raising or writing into a freed slot."""
+        from freeze_omni_tpu.models import codec as codec_mod
+        from freeze_omni_tpu.models import speech_decoder as sd
+        from freeze_omni_tpu.runtime.engine import ServingEngine
+
+        sys_cfg = tiny_system()
+        sys_cfg = dataclasses.replace(
+            sys_cfg,
+            serving=dataclasses.replace(sys_cfg.serving, max_sessions=4))
+        engine = ServingEngine(sys_cfg, seed=0)
+        rs = np.random.RandomState(5)
+        for sid in ("x", "y"):
+            engine.open_session(sid)
+            engine.submit_chunk(sid, "user",
+                                rs.randn(1, 32, 80).astype(np.float32),
+                                is_sl=True)
+        engine.tick()
+        engine.close_session("y")
+        k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+        tts_params = {"decoder": sd.init_params(k1, sys_cfg.tts.decoder),
+                      "codec": codec_mod.init_params(k2, sys_cfg.tts.codec)}
+        out = engine.respond_fast_many(["x", "y"], tts_params, n_text=4)
+        assert set(out) == {"x"}
+        out2 = engine.continue_segments({"y": 3})
+        assert out2 == {}
