@@ -148,11 +148,16 @@ def main(argv=None):
     from ..utils.metrics import corpus_score
 
     if args.model_path:
-        from ..utils.factory import build_system_from_reference
+        from ..utils.factory import (build_system_from_reference,
+                                     is_native_system, load_native_system)
 
-        cfg, audiollm_params, _, tokenizer = build_system_from_reference(
-            args.model_path, args.llm_path,
-            quantize_llm_bits=args.quant or None)
+        if is_native_system(args.model_path):
+            cfg, audiollm_params, _, tokenizer = load_native_system(
+                args.model_path)
+        else:
+            cfg, audiollm_params, _, tokenizer = build_system_from_reference(
+                args.model_path, args.llm_path,
+                quantize_llm_bits=args.quant or None)
         pipeline = InferencePipeline(cfg, params=audiollm_params,
                                      tokenizer=tokenizer, seed=args.seed)
     else:

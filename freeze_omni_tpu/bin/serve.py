@@ -113,21 +113,30 @@ class Server:
             else:
                 base_cfg = load_system_config(args.config)
         if args.model_path:
-            from ..utils.factory import build_system_from_reference
+            from ..utils.factory import (build_system_from_reference,
+                                         is_native_system,
+                                         load_native_system)
 
-            use_tp = args.tp > 1 and args.engine  # --tp only acts with --engine
-            quant = args.quant
-            if quant is None:
-                quant = 0 if use_tp else 8
-            if quant and use_tp:
-                raise SystemExit(
-                    "--quant with --tp is unsupported (the TP PartitionSpecs "
-                    "cover bf16 trees, not quantized ones); use --quant 0 "
-                    "with --tp, or --quant 8 single-chip")
-            (self.cfg, self._ckpt_params, self._ckpt_tts,
-             self._tokenizer) = build_system_from_reference(
-                args.model_path, args.llm_path,
-                quantize_llm_bits=quant or None)
+            if is_native_system(args.model_path):
+                # bin/convert_ckpt.py output: pre-converted (and possibly
+                # pre-quantized) pytrees restore directly
+                (self.cfg, self._ckpt_params, self._ckpt_tts,
+                 self._tokenizer) = load_native_system(args.model_path)
+            else:
+                use_tp = args.tp > 1 and args.engine  # --tp needs --engine
+                quant = args.quant
+                if quant is None:
+                    quant = 0 if use_tp else 8
+                if quant and use_tp:
+                    raise SystemExit(
+                        "--quant with --tp is unsupported (the TP "
+                        "PartitionSpecs cover bf16 trees, not quantized "
+                        "ones); use --quant 0 with --tp, or --quant 8 "
+                        "single-chip")
+                (self.cfg, self._ckpt_params, self._ckpt_tts,
+                 self._tokenizer) = build_system_from_reference(
+                    args.model_path, args.llm_path,
+                    quantize_llm_bits=quant or None)
         else:
             self.cfg = base_cfg or (tiny_system() if args.preset == "tiny"
                                     else flagship_system())

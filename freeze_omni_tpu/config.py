@@ -578,10 +578,17 @@ def load_system_config(path: str) -> "SystemConfig":
     chunker, serving, sampling); unknown keys are ignored, dashes accepted.
     Replaces the reference's three config mechanisms (argparse CLI,
     argparse-as-schema YAML pouring, flat app YAML — SURVEY.md §5)."""
-    import yaml
-
     with open(path) as f:
-        doc = yaml.safe_load(f) or {}
+        if path.endswith(".json"):
+            # YAML 1.1 reads JSON float reprs like "1e-06" as strings
+            # (no dot before the exponent); parse real JSON as JSON
+            import json
+
+            doc = json.load(f) or {}
+        else:
+            import yaml
+
+            doc = yaml.safe_load(f) or {}
 
     def upd(cfg, d):
         return assign_from_dict(cfg, d or {})
@@ -623,10 +630,17 @@ def assign_from_dict(cfg, d: dict):
     """Dataclass-friendly analogue of the reference's assign_args_from_dict
     (models/encoder/encoder.py:36-43): returns a copy of `cfg` with any matching
     keys (dash or underscore style) replaced from `d`."""
+    def tupled(v):
+        # YAML/JSON deliver lists; tuple-typed fields must stay tuples or
+        # the frozen config becomes unhashable (it is a jit static arg)
+        if isinstance(v, list):
+            return tuple(tupled(x) for x in v)
+        return v
+
     updates = {}
     names = {f.name for f in dataclasses.fields(cfg)}
     for k, v in d.items():
         k2 = k.replace("-", "_")
         if k2 in names:
-            updates[k2] = v
+            updates[k2] = tupled(v)
     return dataclasses.replace(cfg, **updates)

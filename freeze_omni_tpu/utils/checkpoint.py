@@ -328,8 +328,12 @@ def save_native(path: str, params) -> None:
     ckptr.wait_until_finished()
 
 
-def load_native(path: str, like) -> dict:
+def load_native(path: str, like=None) -> dict:
+    """Restore an orbax tree; `like` (an abstract/eager template) is optional
+    — without it the on-disk structure is restored as saved."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
+    if like is None:
+        return ckptr.restore(path)
     return ckptr.restore(path, like)

@@ -180,3 +180,45 @@ def build_system_from_reference(model_path: str, llm_path: str, *,
         tts=dataclasses.replace(base.tts, decoder=dcfg, codec=ccfg))
     tokenizer = load_tokenizer(llm_path, llm_cfg.vocab_size)
     return cfg, audiollm, {"decoder": dec, "codec": codec}, tokenizer
+
+
+def save_native_system(out_dir: str, cfg: SystemConfig, audiollm: dict,
+                       tts: dict, llm_path: Optional[str] = None) -> None:
+    """Persist a converted (optionally quantized) system as a NATIVE
+    checkpoint: orbax params + a json config (our YAML schema — json is
+    valid YAML, so config.load_system_config reads it back directly).
+    Restarting from this skips the torch load + quantization entirely."""
+    import dataclasses
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt.save_native(os.path.join(os.path.abspath(out_dir), "params"),
+                     {"audiollm": audiollm, "tts": tts})
+    doc = dataclasses.asdict(cfg)
+    doc["_native_system"] = True
+    doc["_llm_path"] = llm_path  # for the HF tokenizer files
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(doc, f)
+
+
+def is_native_system(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, "config.json")) and \
+        os.path.isdir(os.path.join(path, "params"))
+
+
+def load_native_system(path: str
+                       ) -> Tuple[SystemConfig, dict, dict, object]:
+    """Load a save_native_system dir: returns the same 4-tuple as
+    build_system_from_reference."""
+    import json
+
+    from ..config import load_system_config
+
+    cfg = load_system_config(os.path.join(path, "config.json"))
+    with open(os.path.join(path, "config.json")) as f:
+        doc = json.load(f)
+    params = ckpt.load_native(os.path.join(os.path.abspath(path), "params"))
+    llm_path = doc.get("_llm_path")
+    tokenizer = load_tokenizer(llm_path or "",
+                               cfg.audio_llm.llm.vocab_size)
+    return cfg, params["audiollm"], params["tts"], tokenizer

@@ -284,3 +284,43 @@ class TestFullCheckpointWorkflow:
         rel = np.abs(np.asarray(h_q) - np.asarray(h_f)).max() / \
             (np.abs(np.asarray(h_f)).max() + 1e-6)
         assert rel < 0.05, rel
+
+    def test_native_checkpoint_roundtrip(self, tmp_path):
+        """convert_ckpt: reference dir -> native orbax system; restarting
+        from the native dir restores bit-identical (quantized) pytrees and
+        the config (tuples stay tuples — the config is a jit static arg)."""
+        import jax
+
+        _make_audiollm_ckpt(tmp_path)
+        _make_hf_llm(tmp_path)
+        _make_decoder_ckpt(tmp_path)
+        _make_codec_ckpt(tmp_path)
+
+        from freeze_omni_tpu.bin import convert_ckpt
+        from freeze_omni_tpu.utils.factory import (
+            build_system_from_reference, is_native_system,
+            load_native_system)
+
+        out = tmp_path / "native"
+        convert_ckpt.main(["--model_path", str(tmp_path), "--llm_path",
+                           str(tmp_path / "llm"), "--out", str(out),
+                           "--quant", "8"])
+        assert is_native_system(str(out))
+
+        cfg_ref, audiollm_ref, tts_ref, _ = build_system_from_reference(
+            str(tmp_path), str(tmp_path / "llm"), quantize_llm_bits=8)
+        cfg, audiollm, tts, tok = load_native_system(str(out))
+
+        assert cfg == cfg_ref  # incl. tuple-typed fields (hashable)
+        hash(cfg)
+        for got, want in ((audiollm, audiollm_ref), (tts, tts_ref)):
+            jax.tree.map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)), got, want)
+
+        # the server path accepts the native dir directly
+        from freeze_omni_tpu.bin import serve as serve_mod
+
+        args = serve_mod.get_args(["--model_path", str(out)])
+        server = serve_mod.Server(args)
+        assert "w_q" in server._ckpt_params["llm"]["layers"]["q"]
