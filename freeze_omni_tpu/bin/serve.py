@@ -123,16 +123,11 @@ class Server:
                 (self.cfg, self._ckpt_params, self._ckpt_tts,
                  self._tokenizer) = load_native_system(args.model_path)
             else:
-                use_tp = args.tp > 1 and args.engine  # --tp needs --engine
-                quant = args.quant
-                if quant is None:
-                    quant = 0 if use_tp else 8
-                if quant and use_tp:
-                    raise SystemExit(
-                        "--quant with --tp is unsupported (the TP "
-                        "PartitionSpecs cover bf16 trees, not quantized "
-                        "ones); use --quant 0 with --tp, or --quant 8 "
-                        "single-chip")
+                # int8 weight-only is the default with or without TP: the
+                # PartitionSpecs cover quantized trees (parallel/mesh.py
+                # _linear_spec), so 2-chip int8 — the natural high-throughput
+                # deployment — works from the CLI
+                quant = 8 if args.quant is None else args.quant
                 (self.cfg, self._ckpt_params, self._ckpt_tts,
                  self._tokenizer) = build_system_from_reference(
                     args.model_path, args.llm_path,

@@ -153,6 +153,13 @@ class EncoderConfig:
     pe_max_len: int = 5000
     subsampling_rate: int = 4
 
+    def __post_init__(self):
+        if self.pos_enc not in ("rel-enc", "abs-enc"):
+            raise ValueError(
+                f"unsupported pos_enc {self.pos_enc!r}: the reference encoder "
+                "supports 'rel-enc' (RelPositionalEncoding) and 'abs-enc' "
+                "(PositionalEncoding) only (models/encoder/transformer.py:179-184)")
+
     @property
     def head_dim(self) -> int:
         return self.attention_dim // self.attention_heads
@@ -223,8 +230,6 @@ class AudioLLMConfig:
     adapter: AdapterConfig = field(default_factory=AdapterConfig)
     llm: LLMConfig = field(default_factory=LLMConfig)
     num_states: int = 4  # predictor head classes (audioLLM.py:215)
-    chat_prefix_len_user: int = 8  # static pad length for chat-template prefixes
-    chat_prefix_len_system: int = 8
     # task/prompt/prefix-tuning tables (audioLLM.py:169-195; training-time
     # conditioning — the fork's inference path never reads them, but converted
     # checkpoints carry them)

@@ -69,6 +69,13 @@ class DuplexSession:
         _, self.system_role_kv, _, _, _ = pipeline.speech_dialogue(
             None, identity="", status="pre",
             role=cfg.duplex.default_prompt)
+        # host mirrors so per-chunk handling never blocks on a device fetch
+        # (the batched engine keeps the same mirror, runtime/engine.py): one
+        # authoritative fetch here; chunk appends are advanced exactly on host
+        self._role_len = int(np.asarray(self.system_role_kv.length)[0])
+        self._prefix_len = {
+            "user": int(pipeline.core.user_prefix_embeds.shape[0]),
+            "system": int(pipeline.core.system_prefix_embeds.shape[0])}
         self.reset_context()
 
         self._stop = threading.Event()
@@ -84,6 +91,7 @@ class DuplexSession:
         prefill (dialog_state_pred.py:170-232). KV arrays are immutable
         pytrees, so no deepcopy is needed — we simply rebind."""
         self.past_key_values = self.system_role_kv
+        self._kv_len: Optional[int] = self._role_len  # host KV-length mirror
         self.caches = {i: {"encoder_cache": None, "adapter_cache": None,
                            "pe_index": 0} for i in IDENTITIES}
         for i in IDENTITIES:
@@ -222,7 +230,13 @@ class DuplexSession:
         # (SURVEY.md §5 long-context note); here the cache is fixed-capacity
         # and sessions nearing it ROLL (qwen2.roll_kv): the role prefill stays
         # pinned and the most recent window of dialog survives in place.
-        kv_len = int(np.asarray(self.past_key_values.length)[0])
+        # The length check runs off the host mirror — per-chunk handling must
+        # not block on a device fetch (a tunneled fetch costs ~55 ms against
+        # a 224 ms budget); the mirror is advanced exactly below and only
+        # refetched after a response (generated length is data-dependent).
+        if self._kv_len is None:
+            self._kv_len = int(np.asarray(self.past_key_values.length)[0])
+        kv_len = self._kv_len
         cap = self.past_key_values.k.shape[2]
         margin = max(self.cfg.serving.kv_margin, 64)
         if kv_len > cap - margin:
@@ -232,13 +246,14 @@ class DuplexSession:
             # post-roll length targets half the usable window (see
             # runtime/engine._maybe_roll_kv)
             target = (cap - margin) // 2
-            keep = jnp.minimum(jnp.maximum(target - prefix, 16),
-                               self.cfg.serving.kv_keep_recent)
+            keep = int(min(max(target - self._role_len, 16),
+                           self.cfg.serving.kv_keep_recent))
             self.past_key_values = _qwen2.roll_kv(
-                self.cfg.audio_llm.llm, self.past_key_values, prefix, keep,
-                jnp.ones_like(prefix, bool))
+                self.cfg.audio_llm.llm, self.past_key_values, prefix,
+                jnp.full_like(prefix, keep), jnp.ones_like(prefix, bool))
+            self._kv_len = self._role_len + keep
             self.sink.emit("kv_roll", {
-                "identity": identity, "kept_recent": int(np.asarray(keep)[0]),
+                "identity": identity, "kept_recent": keep,
                 "time_stamp": feat["time_stamp"]})
         c = self.caches[identity]
         pred, kv, adp, enc, pe = self.pipeline.speech_dialogue(
@@ -248,6 +263,11 @@ class DuplexSession:
             pe_index=c["pe_index"])
         self.past_key_values = kv
         c.update(adapter_cache=adp, encoder_cache=enc, pe_index=pe)
+        # exact host-side append accounting: chat prefix on ipu_sl + the
+        # chunk's adapter tokens (fbank T -> conv2d/4 -> adapter stride 2)
+        t_sub = ((np.asarray(feat["feature"]).shape[-2] - 1) // 2 - 1) // 2
+        self._kv_len += (t_sub + 1) // 2 + (
+            self._prefix_len[identity] if feat["status"] == "ipu_sl" else 0)
 
         if pred is None:
             return
@@ -276,6 +296,9 @@ class DuplexSession:
         synthesized audio re-enters as system-identity input so the predictor
         hears the system speaking (the upstream duplex loop)."""
         try:
+            # generated token count is data-dependent: invalidate the host
+            # length mirror; the next chunk refetches it once
+            self._kv_len = None
             for text, pcm16, kv in self.responder.respond(self.past_key_values):
                 self.past_key_values = kv
                 self.sink.emit("response_text", {"text": text})

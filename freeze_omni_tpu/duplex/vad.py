@@ -66,8 +66,13 @@ class EnergyVAD:
         rms = float(np.sqrt(np.mean(np.square(audio)) + 1e-12))
         # digital silence (muted mic sending zeros) is NOT a background
         # estimate: one such chunk would pin the minimum for the whole
-        # window and make ordinary room noise read as speech for ~5 s
-        if rms > 3e-5:
+        # window and make ordinary room noise read as speech for ~5 s.
+        # The floor also FREEZES while inside an IPU (standard minimum-
+        # statistics refinement): during a long utterance the window would
+        # otherwise fill with speech RMS, the floor would climb to the
+        # clamp, and a quiet speaker would be cut mid-sentence once
+        # min_silence_s of now-sub-threshold frames accumulated.
+        if rms > 3e-5 and not self.in_speech:
             self._rms_window.append(rms)
             if len(self._rms_window) > self._rms_window_len:
                 self._rms_window.pop(0)

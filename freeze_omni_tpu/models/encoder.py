@@ -89,14 +89,16 @@ def init_params(key, cfg: EncoderConfig, dtype=jnp.float32) -> dict:
             "k": linear_init(ks[1], d, d, dtype=dtype),
             "v": linear_init(ks[2], d, d, dtype=dtype),
             "o": linear_init(ks[3], d, d, dtype=dtype),
-            "pos": linear_init(ks[4], d, d, bias=False, dtype=dtype),
-            # xavier-uniform as in attention.py:306-307
-            "bias_u": jax.random.uniform(ks[5], (cfg.attention_heads, cfg.head_dim),
-                                         dtype, -bound, bound),
-            "bias_v": jax.random.uniform(ks[6], (cfg.attention_heads, cfg.head_dim),
-                                         dtype, -bound, bound),
             "ln2": layer_norm_init(d, dtype),
         }
+        if cfg.pos_enc == "rel-enc":
+            # abs-enc has no linear_pos / pos biases (attention.py:308-312)
+            p["pos"] = linear_init(ks[4], d, d, bias=False, dtype=dtype)
+            # xavier-uniform as in attention.py:306-307
+            p["bias_u"] = jax.random.uniform(
+                ks[5], (cfg.attention_heads, cfg.head_dim), dtype, -bound, bound)
+            p["bias_v"] = jax.random.uniform(
+                ks[6], (cfg.attention_heads, cfg.head_dim), dtype, -bound, bound)
         if cfg.positionwise == "conv1d-linear":
             from .layers import conv1d_init
 
@@ -152,14 +154,23 @@ def _embed(params, x):
 
 
 def _rel_attention(bp, x_q, k_all, v_all, pos_emb, mask, cfg: EncoderConfig):
-    """Relative-position MHA over an explicit key buffer.
+    """MHA over an explicit key buffer; relative-position (Transformer-XL
+    u/v biases, rel_shift dropped — attention.py:370-390) for 'rel-enc',
+    plain scaled dot-product (attention.py:392-393) for 'abs-enc' (where the
+    PE was already added to the block inputs).
 
     x_q: [B, T, d]; k_all/v_all: [B, S, H, dk]; pos_emb: [S, d] (shared) or
-    [B, S, d] (per-batch streaming positions);
+    [B, S, d] (per-batch streaming positions), ignored for abs-enc;
     mask: [B, 1, T, S] or None. Returns [B, T, d]."""
     B, T, d = x_q.shape
     H, dk = cfg.attention_heads, cfg.head_dim
     q = linear(bp["q"], x_q).reshape(B, T, H, dk)
+
+    if cfg.pos_enc == "abs-enc":
+        scores = jnp.einsum("bthd,bshd->bhts", q, k_all) / math.sqrt(dk)
+        attn = masked_softmax(scores, mask)
+        out = jnp.einsum("bhts,bshd->bthd", attn, v_all).reshape(B, T, d)
+        return linear(bp["o"], out)
 
     ac = jnp.einsum("bthd,bshd->bhts", q + bp["bias_u"], k_all)
     if pos_emb.ndim == 2:
@@ -236,6 +247,9 @@ def forward(params, cfg: EncoderConfig, xs: jnp.ndarray,
     x = x * math.sqrt(cfg.attention_dim)
     T = x.shape[1]
     pos_emb = sinusoidal_pe(jnp.arange(T), cfg.attention_dim)
+    if cfg.pos_enc == "abs-enc":
+        # PositionalEncoding.forward: x = x*xscale + pe[:T] (attention.py:36-52)
+        x = x + pos_emb[None]
     if mask is None:
         mask = chunk_causal_mask(T, cfg.chunk_size, cfg.left_chunks)
     mask = mask[None, None] if mask.ndim == 2 else mask
@@ -280,14 +294,27 @@ def stream_step(params, cfg: EncoderConfig, xs: jnp.ndarray,
     cap = cfg.window
     S = cap + T
 
-    # --- streaming positional encoding (attention.py:105-121), per batch ---
-    pe_idx = jnp.mod(state.pe_index, cfg.pe_wrap)                 # [B]
-    start = jnp.maximum(0, pe_idx - cfg.full_chunk_size)          # [B]
     valid = jnp.minimum(state.valid, cap)                         # [B]
-    # slot s holds key number j = s - (cap - valid); its position is start + j
     slot = jnp.arange(S)[None, :]                                 # [1, S]
-    positions = start[:, None] + slot - (cap - valid)[:, None]    # [B, S]
-    pos_emb = sinusoidal_pe(positions.reshape(-1), d).reshape(B, S, d)
+    if cfg.pos_enc == "abs-enc":
+        # Absolute PE added to the chunk inputs at their utterance positions.
+        # The reference's streaming path would crash here (PositionalEncoding
+        # has no .infer, transformer.py:278) — this is the natural extension:
+        # pe_index counts emitted post-subsampling frames, wrapping at
+        # pe_max_len to stay inside the reference's asserted table bound.
+        pe_idx = jnp.mod(state.pe_index, cfg.pe_max_len)          # [B]
+        positions = pe_idx[:, None] + jnp.arange(T)[None, :]      # [B, T]
+        x = x + sinusoidal_pe(positions.reshape(-1), d).reshape(B, T, d)
+        pos_emb = jnp.zeros((1, S, d), x.dtype)  # unused in abs attention
+        pe_next = pe_idx + T
+    else:
+        # --- streaming rel-PE (attention.py:105-121), per batch ---
+        pe_idx = jnp.mod(state.pe_index, cfg.pe_wrap)             # [B]
+        start = jnp.maximum(0, pe_idx - cfg.full_chunk_size)      # [B]
+        # slot s holds key number j = s - (cap - valid); position is start + j
+        positions = start[:, None] + slot - (cap - valid)[:, None]  # [B, S]
+        pos_emb = sinusoidal_pe(positions.reshape(-1), d).reshape(B, S, d)
+        pe_next = pe_idx + cfg.chunk_size
     keep = slot >= (cap - valid)[:, None]                         # [B, S]
     mask = keep[:, None, None, :]                                 # [B, H, T, S]
 
@@ -318,7 +345,7 @@ def stream_step(params, cfg: EncoderConfig, xs: jnp.ndarray,
     new_state = EncoderState(
         k_cache=new_k, v_cache=new_v,
         valid=jnp.minimum(valid + T, cap).astype(jnp.int32),
-        pe_index=(pe_idx + cfg.chunk_size).astype(jnp.int32),
+        pe_index=pe_next.astype(jnp.int32),
         ffn_cache=new_f,
     )
     return x, new_state

@@ -36,32 +36,73 @@ def make_mesh(shape: Tuple[int, int] = (1, 1),
     return Mesh(np.array(devices[:n]).reshape(shape), axes)
 
 
-def llm_param_specs(cfg: LLMConfig) -> dict:
-    """PartitionSpec tree matching models/qwen2.init_params structure.
+def _linear_spec(kind: str, lead: int, p: Optional[dict] = None) -> dict:
+    """Spec for one projection. kind='col' shards the output axis on 'model',
+    'row' shards the input axis. lead=1 for stacked-layer weights ([L, ...]).
+    Matches bf16 {"w"}, int8 weight-only {"w_q","scale"} and grouped int4
+    {"w_q4","scale4"} trees (ops/quant.py layouts); `p` selects which keys to
+    emit (bf16 w (+bias) when None)."""
+    pre = (None,) * lead
+    col = kind == "col"
+    w_spec = P(*pre, None, "model") if col else P(*pre, "model", None)
+    keys = set(p.keys()) if p is not None else {"w"}
+    out = {}
+    if "w" in keys:
+        out["w"] = w_spec
+    if "w_q" in keys:  # int8 [*, in, out]
+        out["w_q"] = w_spec
+    if "scale" in keys:  # int8 per-output-channel [*, out]
+        out["scale"] = P(*pre, "model") if col else P(*pre, None)
+    if "w_q4" in keys:  # int4 packed [*, in/2, out] — input still axis -2
+        out["w_q4"] = w_spec
+    if "scale4" in keys:  # [*, in/group, out]
+        out["scale4"] = P(*pre, None, "model") if col else P(*pre, "model", None)
+    if "b" in keys:  # bias rides the output axis
+        out["b"] = P(*pre, "model") if col else P(*pre, None)
+    return out
+
+
+def llm_param_specs(cfg: LLMConfig, params: Optional[dict] = None) -> dict:
+    """PartitionSpec tree matching models/qwen2.init_params structure —
+    bf16 or weight-only-quantized (pass `params` to match the actual tree).
 
     Column-parallel q/k/v/gate/up (output dim on 'model'), row-parallel o/down
     (input dim on 'model'), vocab-parallel embedding + lm_head."""
+    lp = params["layers"] if params is not None else None
+
+    def proj(name, kind):
+        if lp is not None:
+            return _linear_spec(kind, 1, lp[name])
+        if cfg.qkv_bias and name in ("q", "k", "v"):
+            return {"w": _linear_spec(kind, 1)["w"],
+                    "b": P(None, "model") if kind == "col" else P(None, None)}
+        return _linear_spec(kind, 1)
+
     layer = {
         "ln1": {"scale": P()},
-        "q": {"w": P(None, None, "model"), "b": P(None, "model")},
-        "k": {"w": P(None, None, "model"), "b": P(None, "model")},
-        "v": {"w": P(None, None, "model"), "b": P(None, "model")},
-        "o": {"w": P(None, "model", None)},
+        "q": proj("q", "col"),
+        "k": proj("k", "col"),
+        "v": proj("v", "col"),
+        "o": proj("o", "row"),
         "ln2": {"scale": P()},
-        "gate": {"w": P(None, None, "model")},
-        "up": {"w": P(None, None, "model")},
-        "down": {"w": P(None, "model", None)},
+        "gate": proj("gate", "col"),
+        "up": proj("up", "col"),
+        "down": proj("down", "row"),
     }
-    if not cfg.qkv_bias:
-        for k in ("q", "k", "v"):
-            layer[k] = {"w": layer[k]["w"]}
+    embed = {"w": P("model", None)}
+    if params is not None and "w_q" in params["embed"]:
+        # quantize_embedding: {"w_q": int8 [V, D], "scale": f32 [V]}
+        embed = {"w_q": P("model", None), "scale": P("model")}
     specs = {
-        "embed": {"w": P("model", None)},
+        "embed": embed,
         "layers": layer,
         "final_norm": {"scale": P()},
     }
-    if not cfg.tie_embeddings:
-        specs["lm_head"] = {"w": P(None, "model")}
+    has_head = (params is not None and "lm_head" in params) or \
+        (params is None and not cfg.tie_embeddings)
+    if has_head:
+        hp = params.get("lm_head") if params is not None else None
+        specs["lm_head"] = _linear_spec("col", 0, hp)
     return specs
 
 
@@ -86,4 +127,4 @@ def shard_tree(tree, mesh: Mesh, specs):
 
 
 def shard_llm_params(params: dict, mesh: Mesh, cfg: LLMConfig):
-    return shard_tree(params, mesh, llm_param_specs(cfg))
+    return shard_tree(params, mesh, llm_param_specs(cfg, params))

@@ -263,15 +263,21 @@ class DuplexPipeline:
 
         if identity == "user":
             enc_state, adp_state = caches.enc_user, caches.adp_user
-            prediction = {"state_1": float(np.asarray(probs)[0, 1]),
-                          "state_2": float(np.asarray(probs)[0, 2])}
+            # ONE device fetch for the prediction + pe_index together; the
+            # prediction is the only value the host genuinely needs per chunk
+            probs_np, pe = jax.device_get((probs, enc_state.pe_index))
+            prediction = {"state_1": float(probs_np[0, 1]),
+                          "state_2": float(probs_np[0, 2])}
+            pe = int(pe[0])
         else:
             enc_state, adp_state = caches.enc_system, caches.adp_system
             prediction = None  # no prediction for system audio (audioLLM.py:396-397)
+            # no sync for system chunks: pe_index stays a device scalar (it
+            # lives inside EncoderState anyway; the return is API parity only
+            # and callers just round-trip it)
+            pe = enc_state.pe_index
 
-        # pe_index lives inside EncoderState now; returned for API parity
-        return (prediction, caches.kv, adp_state, enc_state,
-                int(np.asarray(enc_state.pe_index)[0]))
+        return prediction, caches.kv, adp_state, enc_state, pe
 
     def post_process(self, text: str) -> str:
         return post_process(text)

@@ -85,6 +85,16 @@ class ServingEngine:
         # response tokens) and is advanced by a conservative bound for
         # fire-and-forget system steps
         self._len_host: Optional[np.ndarray] = None
+        # per-step KV growth bound for fire-and-forget steps: chat-prefix
+        # splice (tokenizer-dependent — ~5 ids with the Qwen BPE, ~26-32 with
+        # the ByteTokenizer) + the adapter tokens of one gating chunk. Derived,
+        # not hard-coded: an under-estimate would let kv.length outrun the
+        # mirror and fire the roll late (silent attention corruption).
+        g = cfg.duplex.gating
+        t_sub = ((g.frames_per_step - 1) // 2 - 1) // 2
+        self._step_append_bound = int(max(
+            self.core.user_prefix_embeds.shape[0],
+            self.core.system_prefix_embeds.shape[0])) + (t_sub + 1) // 2
 
     # ------------------------------------------------------------------
     # session management
@@ -151,11 +161,6 @@ class ServingEngine:
             is_sl[slot] = sl
         return pending, chunks, active, is_sl
 
-    # conservative per-step KV growth for fire-and-forget steps (prefix
-    # splice + adapter tokens of one 224 ms chunk); only used to advance the
-    # host length mirror between authoritative syncs
-    _STEP_APPEND_BOUND = 24
-
     def tick(self) -> Dict[str, Dict[int, dict]]:
         """Run the pending work of both identities — fused into ONE device
         dispatch when both have chunks (each dispatch through the tunneled
@@ -213,7 +218,7 @@ class ServingEngine:
                 # bound (overestimates only ever roll a session a bit early)
                 self._len_host = np.where(
                     active, np.minimum(
-                        self._len_host + self._STEP_APPEND_BOUND,
+                        self._len_host + self._step_append_bound,
                         self.store.caches.kv.k.shape[2]),
                     self._len_host).astype(np.int32)
         return results

@@ -97,11 +97,14 @@ def convert_encoder(sd: dict, cfg: EncoderConfig, prefix: str) -> dict:
             "k": _linear(sd, f"{b}.self_attn.linear_k"),
             "v": _linear(sd, f"{b}.self_attn.linear_v"),
             "o": _linear(sd, f"{b}.self_attn.linear_out"),
-            "pos": _linear(sd, f"{b}.self_attn.linear_pos", bias=False),
-            "bias_u": _t(sd[f"{b}.self_attn.pos_bias_u"]),
-            "bias_v": _t(sd[f"{b}.self_attn.pos_bias_v"]),
             "ln2": _ln(sd, f"{b}.norm2"),
         }
+        if cfg.pos_enc == "rel-enc":
+            # abs-enc checkpoints carry no linear_pos / pos biases
+            # (attention.py:308-312: Identity + dummy tensors)
+            blk["pos"] = _linear(sd, f"{b}.self_attn.linear_pos", bias=False)
+            blk["bias_u"] = _t(sd[f"{b}.self_attn.pos_bias_u"])
+            blk["bias_v"] = _t(sd[f"{b}.self_attn.pos_bias_v"])
         if f"{b}.feed_forward.w_1.0.weight" in sd:
             # Conv1dLinear positionwise (attention.py:198-266)
             blk["ffn_dw"] = _conv1d(sd, f"{b}.feed_forward.w_1.0")

@@ -182,21 +182,36 @@ def build_system_from_reference(model_path: str, llm_path: str, *,
     return cfg, audiollm, {"decoder": dec, "codec": codec}, tokenizer
 
 
+_TOKENIZER_FILES = ("tokenizer.json", "tokenizer_config.json", "vocab.json",
+                    "merges.txt", "special_tokens_map.json",
+                    "added_tokens.json", "chat_template.jinja")
+
+
 def save_native_system(out_dir: str, cfg: SystemConfig, audiollm: dict,
                        tts: dict, llm_path: Optional[str] = None) -> None:
     """Persist a converted (optionally quantized) system as a NATIVE
     checkpoint: orbax params + a json config (our YAML schema — json is
-    valid YAML, so config.load_system_config reads it back directly).
-    Restarting from this skips the torch load + quantization entirely."""
+    valid YAML, so config.load_system_config reads it back directly) + a copy
+    of the HF tokenizer files, so the checkpoint serves on hosts where the
+    original HF dir is absent. Restarting from this skips the torch load +
+    quantization entirely."""
     import dataclasses
     import json
+    import shutil
 
     os.makedirs(out_dir, exist_ok=True)
     ckpt.save_native(os.path.join(os.path.abspath(out_dir), "params"),
                      {"audiollm": audiollm, "tts": tts})
+    if llm_path and os.path.isdir(llm_path):
+        tok_dir = os.path.join(out_dir, "tokenizer")
+        os.makedirs(tok_dir, exist_ok=True)
+        for name in _TOKENIZER_FILES:
+            src = os.path.join(llm_path, name)
+            if os.path.isfile(src):
+                shutil.copy2(src, os.path.join(tok_dir, name))
     doc = dataclasses.asdict(cfg)
     doc["_native_system"] = True
-    doc["_llm_path"] = llm_path  # for the HF tokenizer files
+    doc["_llm_path"] = llm_path  # provenance; tokenizer/ is preferred at load
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(doc, f)
 
@@ -206,10 +221,16 @@ def is_native_system(path: str) -> bool:
         os.path.isdir(os.path.join(path, "params"))
 
 
-def load_native_system(path: str
+def load_native_system(path: str, *, allow_byte_tokenizer: bool = False
                        ) -> Tuple[SystemConfig, dict, dict, object]:
     """Load a save_native_system dir: returns the same 4-tuple as
-    build_system_from_reference."""
+    build_system_from_reference.
+
+    Prefers the tokenizer files copied into `<path>/tokenizer` at convert
+    time; falls back to the recorded HF dir. A real-vocab config that ends
+    up on the ByteTokenizer fallback (decode drops ids >= 256 — generations
+    would silently come out empty) is a hard error unless
+    allow_byte_tokenizer is set (synthetic-weights runs)."""
     import json
 
     from ..config import load_system_config
@@ -218,7 +239,20 @@ def load_native_system(path: str
     with open(os.path.join(path, "config.json")) as f:
         doc = json.load(f)
     params = ckpt.load_native(os.path.join(os.path.abspath(path), "params"))
-    llm_path = doc.get("_llm_path")
-    tokenizer = load_tokenizer(llm_path or "",
-                               cfg.audio_llm.llm.vocab_size)
+    vocab = cfg.audio_llm.llm.vocab_size
+    local_tok = os.path.join(path, "tokenizer")
+    tok_path = local_tok if os.path.isdir(local_tok) \
+        else (doc.get("_llm_path") or "")
+    tokenizer = load_tokenizer(tok_path, vocab)
+    from .tokenizer import ByteTokenizer
+
+    if isinstance(tokenizer, ByteTokenizer) and vocab > 4096 \
+            and not allow_byte_tokenizer:
+        raise RuntimeError(
+            f"native checkpoint at {path} has vocab_size={vocab} but no "
+            "usable tokenizer (no tokenizer/ copy in the checkpoint and no "
+            f"HF dir at {doc.get('_llm_path')!r}). Serving with the "
+            "ByteTokenizer fallback would emit empty text. Re-run "
+            "bin/convert_ckpt.py with --llm pointing at the HF dir, or pass "
+            "allow_byte_tokenizer=True for synthetic runs.")
     return cfg, params["audiollm"], params["tts"], tokenizer

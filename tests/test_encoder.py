@@ -22,7 +22,8 @@ def _cfg():
 def _oracle_stream(params, cfg, chunks):
     """Direct dynamic-shape port of the reference streaming algorithm
     (concat-and-trim KV lists, transformer.py:266-285 + attention.py:407-459),
-    used as the test oracle for the static-shape `stream_step`."""
+    used as the test oracle for the static-shape `stream_step`. Supports both
+    pos_enc variants (abs-enc: PE added to inputs, plain dot-product scores)."""
     caches = [None] * cfg.num_blocks
     pe_index = 0
     outs = []
@@ -34,11 +35,18 @@ def _oracle_stream(params, cfg, chunks):
         x = x * math.sqrt(cfg.attention_dim)
         B, T, d = x.shape
 
-        cached = 0 if caches[0] is None else caches[0][0].shape[1]
-        pe_index = pe_index % cfg.pe_wrap
-        pe_length = cached + T
-        start = max(0, pe_index - cfg.full_chunk_size)
-        pos_emb = sinusoidal_pe(jnp.arange(start, start + pe_length), d)
+        if cfg.pos_enc == "abs-enc":
+            pe_index = pe_index % cfg.pe_max_len
+            x = x + sinusoidal_pe(jnp.arange(pe_index, pe_index + T), d)[None]
+            pos_emb = None
+            pe_index = pe_index + T
+        else:
+            cached = 0 if caches[0] is None else caches[0][0].shape[1]
+            pe_index = pe_index % cfg.pe_wrap
+            pe_length = cached + T
+            start = max(0, pe_index - cfg.full_chunk_size)
+            pos_emb = sinusoidal_pe(jnp.arange(start, start + pe_length), d)
+            pe_index = pe_index + cfg.chunk_size
 
         for i in range(cfg.num_blocks):
             bp = jax.tree.map(lambda a: a[i], params["blocks"])
@@ -50,16 +58,19 @@ def _oracle_stream(params, cfg, chunks):
                 v = jnp.concatenate([caches[i][1], v], axis=1)
             caches[i] = (k[:, -cfg.window:], v[:, -cfg.window:])
             q = linear(bp["q"], h).reshape(B, T, H, dk)
-            p = linear(bp["pos"], pos_emb).reshape(-1, H, dk)
-            ac = jnp.einsum("bthd,bshd->bhts", q + bp["bias_u"], k)
-            bd = jnp.einsum("bthd,shd->bhts", q + bp["bias_v"], p)
-            attnw = jax.nn.softmax((ac + bd) / math.sqrt(dk), axis=-1)
+            if cfg.pos_enc == "abs-enc":
+                scores = jnp.einsum("bthd,bshd->bhts", q, k) / math.sqrt(dk)
+            else:
+                p = linear(bp["pos"], pos_emb).reshape(-1, H, dk)
+                ac = jnp.einsum("bthd,bshd->bhts", q + bp["bias_u"], k)
+                bd = jnp.einsum("bthd,shd->bhts", q + bp["bias_v"], p)
+                scores = (ac + bd) / math.sqrt(dk)
+            attnw = jax.nn.softmax(scores, axis=-1)
             att = jnp.einsum("bhts,bshd->bthd", attnw, v).reshape(B, T, d)
             x = x + linear(bp["o"], att)
             h2 = layer_norm(bp["ln2"], x)
             x = x + linear(bp["ffn2"], jax.nn.relu(linear(bp["ffn1"], h2)))
 
-        pe_index = pe_index + cfg.chunk_size
         outs.append(layer_norm(params["after_norm"], x))
     return outs
 
@@ -119,6 +130,100 @@ class TestStreamingEncoder:
             [0, 0, 0, 0, 1, 1, 1, 1],
         ], dtype=bool)
         np.testing.assert_array_equal(np.asarray(m), expected)
+
+
+class TestAbsEncEncoder:
+    """abs-enc PositionalEncoding variant (attention.py:7-68): PE added to the
+    scaled inputs, plain dot-product attention, no linear_pos/pos biases."""
+
+    def _cfg(self):
+        return EncoderConfig(
+            input_dim=80, output_dim=32, attention_dim=32, attention_heads=4,
+            linear_units=64, num_blocks=2, chunk_size=4, left_chunks=2,
+            pe_max_len=64, pos_enc="abs-enc")
+
+    def test_unknown_pos_enc_rejected(self):
+        with pytest.raises(ValueError, match="pos_enc"):
+            EncoderConfig(pos_enc="rotary")
+
+    def test_abs_params_have_no_rel_tables(self):
+        params = enc.init_params(jax.random.PRNGKey(0), self._cfg())
+        assert "pos" not in params["blocks"]
+        assert "bias_u" not in params["blocks"]
+
+    def test_abs_stream_matches_dynamic_oracle(self):
+        cfg = self._cfg()
+        params = enc.init_params(jax.random.PRNGKey(3), cfg)
+        params["cmvn"]["mean"] = jnp.full((80,), 1.0)
+        params["cmvn"]["istd"] = jnp.full((80,), 0.7)
+        rng = np.random.RandomState(3)
+        chunks = [jnp.asarray(rng.randn(1, 19, 80), jnp.float32)
+                  for _ in range(6)]
+
+        oracle = _oracle_stream(params, cfg, chunks)
+        state = enc.init_state(cfg)
+        step = jax.jit(enc.stream_step, static_argnames=("cfg",))
+        for i, c in enumerate(chunks):
+            out, state = step(params, cfg, c, state)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(oracle[i]),
+                                       rtol=2e-4, atol=2e-4, err_msg=f"step {i}")
+
+    def test_abs_forward_matches_torch(self):
+        """Batch forward vs an independently-written torch replica of the
+        reference abs-enc path (PositionalEncoding.forward x*xscale + pe,
+        attention.py:36-52, then plain pre-LN MHA, attention.py:392-393)."""
+        import torch
+
+        cfg = EncoderConfig(
+            input_dim=80, output_dim=16, attention_dim=16, attention_heads=2,
+            linear_units=32, num_blocks=1, chunk_size=4, left_chunks=2,
+            pe_max_len=256, pos_enc="abs-enc")
+        torch.manual_seed(5)
+        d, h, dk, T = 16, 2, 8, 8
+        lq, lk, lv, lo = (torch.nn.Linear(d, d) for _ in range(4))
+        n1, n2 = torch.nn.LayerNorm(d), torch.nn.LayerNorm(d)
+        w1, w2 = torch.nn.Linear(d, 32), torch.nn.Linear(32, d)
+
+        x0 = torch.randn(1, T, d)
+        pos = torch.arange(T, dtype=torch.float32)
+        div = torch.exp(torch.arange(0, d, 2, dtype=torch.float32)
+                        * -(math.log(10000.0) / d))
+        pe = torch.zeros(T, d)
+        pe[:, 0::2] = torch.sin(pos[:, None] * div)
+        pe[:, 1::2] = torch.cos(pos[:, None] * div)
+
+        with torch.no_grad():
+            x = x0 * math.sqrt(d) + pe[None]
+            hx = n1(x)
+            q = lq(hx).view(1, T, h, dk).transpose(1, 2)
+            k = lk(hx).view(1, T, h, dk).transpose(1, 2)
+            v = lv(hx).view(1, T, h, dk).transpose(1, 2)
+            scores = torch.matmul(q, k.transpose(-2, -1)) / math.sqrt(dk)
+            att = torch.matmul(torch.softmax(scores, dim=-1), v)
+            y = x + lo(att.transpose(1, 2).reshape(1, T, d))
+            y = y + w2(torch.relu(w1(n2(y))))
+            ref = y.numpy()
+
+        def j(m):  # torch Linear/LayerNorm -> our param dicts
+            sdd = {kk: vv.numpy() for kk, vv in m.state_dict().items()}
+            if "weight" in sdd and sdd["weight"].ndim == 2:
+                return {"w": jnp.asarray(sdd["weight"].T),
+                        "b": jnp.asarray(sdd["bias"])}
+            return {"scale": jnp.asarray(sdd["weight"]),
+                    "bias": jnp.asarray(sdd["bias"])}
+
+        bp = {"ln1": j(n1), "q": j(lq), "k": j(lk), "v": j(lv), "o": j(lo),
+              "ln2": j(n2), "ffn1": j(w1), "ffn2": j(w2)}
+        xj = jnp.asarray(x0.numpy()) * math.sqrt(d)
+        xj = xj + sinusoidal_pe(jnp.arange(T), d)[None]
+        hj = layer_norm(bp["ln1"], xj)
+        kj = linear(bp["k"], hj).reshape(1, T, 2, dk)
+        vj = linear(bp["v"], hj).reshape(1, T, 2, dk)
+        att = enc._rel_attention(bp, hj, kj, vj,
+                                 jnp.zeros((T, d)), None, cfg)
+        yj = xj + att
+        yj = yj + enc._ffn(bp, layer_norm(bp["ln2"], yj), cfg)[0]
+        np.testing.assert_allclose(np.asarray(yj), ref, rtol=2e-4, atol=2e-4)
 
 
 class TestAdapter:

@@ -324,3 +324,59 @@ class TestFullCheckpointWorkflow:
         args = serve_mod.get_args(["--model_path", str(out)])
         server = serve_mod.Server(args)
         assert "w_q" in server._ckpt_params["llm"]["layers"]["q"]
+
+    def test_native_checkpoint_tokenizer_self_contained(self, tmp_path):
+        """ADVICE r2 (medium): the tokenizer files are COPIED into the native
+        checkpoint at convert time and preferred at load, so a converted
+        checkpoint serves on hosts where the HF dir is gone; a real-vocab
+        checkpoint that would silently fall back to the ByteTokenizer (whose
+        decode drops ids >= 256 -> empty text) is a hard error."""
+        import shutil
+
+        import pytest
+
+        _make_audiollm_ckpt(tmp_path)
+        _make_hf_llm(tmp_path)
+        _make_decoder_ckpt(tmp_path)
+        _make_codec_ckpt(tmp_path)
+        # give the fixture LLM dir a real, loadable fast tokenizer
+        import json as _json
+
+        from tokenizers import Tokenizer
+        from tokenizers.models import WordLevel
+        from tokenizers.pre_tokenizers import Whitespace
+
+        vocab = {"<|im_start|>": 0, "<|im_end|>": 1, "hi": 2, "[UNK]": 3}
+        t = Tokenizer(WordLevel(vocab, unk_token="[UNK]"))
+        t.pre_tokenizer = Whitespace()
+        t.save(str(tmp_path / "llm" / "tokenizer.json"))
+        with open(tmp_path / "llm" / "tokenizer_config.json", "w") as f:
+            _json.dump({"tokenizer_class": "PreTrainedTokenizerFast",
+                        "eos_token": "<|im_end|>"}, f)
+
+        from freeze_omni_tpu.bin import convert_ckpt
+        from freeze_omni_tpu.utils.factory import load_native_system
+        from freeze_omni_tpu.utils.tokenizer import (ByteTokenizer,
+                                                     HFTokenizer)
+
+        out = tmp_path / "native"
+        convert_ckpt.main(["--model_path", str(tmp_path), "--llm_path",
+                           str(tmp_path / "llm"), "--out", str(out),
+                           "--quant", "8"])
+        assert (out / "tokenizer" / "tokenizer.json").is_file()
+
+        # the original HF dir disappears (new serving host)
+        shutil.rmtree(tmp_path / "llm")
+        _, _, _, tok = load_native_system(str(out))
+        assert isinstance(tok, HFTokenizer)
+
+        # real-vocab config + no tokenizer anywhere -> loud error
+        shutil.rmtree(out / "tokenizer")
+        cfg_file = out / "config.json"
+        doc = _json.loads(cfg_file.read_text())
+        doc["audio_llm"]["llm"]["vocab_size"] = 152064
+        cfg_file.write_text(_json.dumps(doc))
+        with pytest.raises(RuntimeError, match="ByteTokenizer"):
+            load_native_system(str(out))
+        _, _, _, tok = load_native_system(str(out), allow_byte_tokenizer=True)
+        assert isinstance(tok, ByteTokenizer)

@@ -123,6 +123,67 @@ class TestShardedServing:
         for a, b in zip(*results):
             assert abs(a["state_1"] - b["state_1"]) < 2e-3, (a, b)
 
+    def test_engine_with_quantized_tensor_parallel(self):
+        """int8 weight-only x TP (VERDICT r2 #6): the quantized tree shards
+        through the same PartitionSpec derivation (parallel/mesh._linear_spec
+        matches w_q/scale layouts) and serves with the same predictions as
+        the unsharded quantized engine."""
+        import jax
+        import jax.numpy as jnp
+
+        from freeze_omni_tpu.models import audio_llm
+        from freeze_omni_tpu.parallel.mesh import make_mesh
+
+        cfg = tiny_system()
+
+        def build(mesh):
+            params = audio_llm.init_params(
+                jax.random.PRNGKey(0), cfg.audio_llm,
+                llm_dtype=jnp.bfloat16, quantize_llm=True)
+            return ServingEngine(cfg, params=params, seed=0,
+                                 kv_dtype=jnp.bfloat16, mesh=mesh)
+
+        engine = build(make_mesh((1, 2), ("data", "model")))
+        plain = build(None)
+        for e in (engine, plain):
+            e.open_session("s1", role="int8 TP parity.")
+        chunks = _chunks(5, 2)
+        results = []
+        for e in (engine, plain):
+            out = []
+            for i, c in enumerate(chunks):
+                e.submit_chunk("s1", "user", c, is_sl=(i == 0))
+                out.append(e.tick()["user"][e.store.slot_of("s1")])
+            results.append(out)
+        for a, b in zip(*results):
+            # bf16 activations: collectives reorder reductions
+            assert abs(a["state_1"] - b["state_1"]) < 3e-2, (a, b)
+
+    def test_quantized_specs_match_tree_structure(self):
+        """llm_param_specs(cfg, params) must mirror the int8 AND int4 tree
+        structures exactly (shard_tree tree.maps them together)."""
+        import jax
+
+        from freeze_omni_tpu.config import LLMConfig
+        from freeze_omni_tpu.models import qwen2
+        from freeze_omni_tpu.ops.quant import quantize_llm_params
+        from freeze_omni_tpu.parallel.mesh import llm_param_specs
+
+        cfg = LLMConfig(hidden=64, num_layers=2, num_heads=4, num_kv_heads=2,
+                        ffn=128, vocab_size=128, max_kv_len=32)
+        params = qwen2.init_params(jax.random.PRNGKey(0), cfg)
+        for bits in (8, 4):
+            q = quantize_llm_params(params, bits=bits)
+            specs = llm_param_specs(cfg, q)
+            assert jax.tree.structure(q) == jax.tree.structure(
+                specs, is_leaf=lambda x: not isinstance(x, dict))
+        # bf16 default still matches the plain tree
+        specs = llm_param_specs(cfg, params)
+        assert jax.tree.structure(params) == jax.tree.structure(
+            specs, is_leaf=lambda x: not isinstance(x, dict))
+        assert jax.tree.structure(params) == jax.tree.structure(
+            llm_param_specs(cfg), is_leaf=lambda x: not isinstance(x, dict))
+
 
 class TestEngineRespond:
     def test_respond_on_slot_advances_kv(self):

@@ -154,3 +154,26 @@ class TestEnergyVADMinStats:
         assert vad.noise_floor < 5e-4
         ann = vad.predict({"audio": soft, "time_stamp": 0.0})
         assert ann["status"] == "ipu_sl"
+
+    def test_long_quiet_utterance_not_cut_mid_sentence(self):
+        """The noise floor FREEZES while inside an IPU: a quiet speaker
+        (rms ~0.02) talking for >30 chunks must stay ipu_cl throughout —
+        before the fix, the minimum-statistics window filled with speech RMS,
+        the floor climbed to the 0.01 clamp, and min_silence_s of
+        now-sub-threshold frames ended the IPU mid-sentence."""
+        from freeze_omni_tpu.config import VADConfig
+        from freeze_omni_tpu.duplex.vad import EnergyVAD
+
+        vad = EnergyVAD(VADConfig(chunk_size=512))
+        t = np.arange(512) / 16000
+        quiet = (1e-4 * np.random.RandomState(1).randn(512)).astype(np.float32)
+        soft_speech = (0.02 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+        for _ in range(3):
+            vad.predict({"audio": quiet, "time_stamp": 0.0})
+        ann = vad.predict({"audio": soft_speech, "time_stamp": 0.0})
+        assert ann["status"] == "ipu_sl"
+        # 40 chunks ≈ 1.3 s at 512 samples — far past the old ~25-chunk window
+        statuses = [vad.predict({"audio": soft_speech, "time_stamp": 0.0})["status"]
+                    for _ in range(40)]
+        assert all(s == "ipu_cl" for s in statuses), statuses
+        assert vad.noise_floor < 5e-4  # floor never absorbed the speech
