@@ -137,10 +137,12 @@ def knee_detail(cfg, args, params, llm_dtype):
 
     from freeze_omni_tpu.runtime.engine import ServingEngine
 
+    import gc
+
     points = []
     rng = np.random.RandomState(0)
-    for streams, kv_len in ((8, 1024), (16, 1024), (32, 1024), (64, 1024),
-                            (128, 512)):
+    for streams, kv_len in ((8, 1024), (16, 1024), (32, 1024), (64, 512),
+                            (128, 256)):
         c = _dc.replace(
             cfg,
             audio_llm=_dc.replace(
@@ -172,13 +174,15 @@ def knee_detail(cfg, args, params, llm_dtype):
                            "realtime_fraction": round(p50 / chunk_ms, 3)})
             log(f"knee: {streams} streams -> {p50:.1f} ms tick")
             del engine
+            gc.collect()  # drop the dead engine's device caches before the
+            # next (larger) allocation
             if p50 > chunk_ms:
                 break
         except Exception as e:  # OOM at the top counts is a finding, not a crash
             log(f"knee: {streams} streams failed: {type(e).__name__}")
             points.append({"streams": streams, "kv_len": kv_len,
                            "error": type(e).__name__})
-            break
+            gc.collect()
     return points
 
 
@@ -395,7 +399,8 @@ def main():
                    help="text tokens before first sentence boundary")
     p.add_argument("--preset", default="bench", choices=["bench", "tiny"])
     p.add_argument("--mode", default="latency",
-                   choices=["latency", "serving", "load", "throughput"])
+                   choices=["latency", "serving", "load", "throughput",
+                            "knee"])
     p.add_argument("--streams", type=int, default=8,
                    help="concurrent duplex sessions for --mode serving")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
@@ -466,6 +471,14 @@ def main():
 
     if args.mode == "throughput":
         throughput_bench(cfg, args, params)
+        return
+    if args.mode == "knee":
+        points = knee_detail(cfg, args, params, llm_dtype)
+        print(json.dumps({"metric": "max_realtime_streams",
+                          "value": max((p["streams"] for p in points
+                                        if "tick_p50_ms" in p), default=0),
+                          "unit": "streams", "vs_baseline": None,
+                          "detail": {"knee": points}}))
         return
     # the latency bench only exercises the user identity: alias the system
     # copies (immutable arrays -> no extra HBM)
@@ -669,7 +682,14 @@ def main():
         knee = knee_detail(cfg, args, params, llm_dtype)
 
     cold_warm = {"cold_params_s": round(params_s, 1),
-                 "cold_warmup_s": round(warmup_s, 1)}
+                 "cold_warmup_s": round(warmup_s, 1),
+                 "note": "warm_warmup is NOT recompilation: a "
+                         "JAX_DEBUG_LOG_MODULES probe shows ~all programs "
+                         "cache-hit on restart (1 write). The remaining warm "
+                         "cost is Python tracing of the 28-layer fused "
+                         "graphs + program upload through the tunneled "
+                         "device + first execution, none of which the "
+                         "persistent cache can elide."}
     if args.warm_probe:
         # warm-restart proof (VERDICT r2 #2): a fresh child process replays
         # init + warmup from the (now hot) persistent compile cache
