@@ -109,9 +109,9 @@ def prefill_detail(cfg, args, params):
         stimes.append(time.perf_counter() - t0)
     single_ms = float(np.median(stimes)) * 1e3
 
-    # tokens per recognize step: the 224 ms chunk contributes 4 LLM
-    # embeddings per session (32 fbank -> 7 enc -> 4 adapter frames)
-    tokens = 4 * B
+    # tokens per recognize step: the 224 ms chunk's LLM embeddings per
+    # session (fbank -> conv2d/4 -> adapter/2), from the model's arithmetic
+    tokens = audio_llm.chunk_tokens(cfg.duplex.gating.frames_per_step) * B
     nbytes, nparams = _llm_footprint(params)
     tok_s = tokens / (device_step_ms / 1e3)
     mfu = 2.0 * nparams * tok_s / V5E_PEAK_BF16
@@ -128,7 +128,7 @@ def prefill_detail(cfg, args, params):
     }
 
 
-def knee_detail(cfg, args, params, llm_dtype):
+def knee_detail(cfg, args, params):
     """Stream-count knee: batched tick p50 vs session count until the tick
     approaches the 224 ms chunk budget (VERDICT r2 #5 — the '8+ streams'
     north star is far exceeded; find the ceiling). KV length shrinks at the
@@ -473,10 +473,11 @@ def main():
         throughput_bench(cfg, args, params)
         return
     if args.mode == "knee":
-        points = knee_detail(cfg, args, params, llm_dtype)
+        points = knee_detail(cfg, args, params)
         print(json.dumps({"metric": "max_realtime_streams",
                           "value": max((p["streams"] for p in points
-                                        if "tick_p50_ms" in p), default=0),
+                                        if p.get("realtime_fraction", 9) <= 1),
+                                       default=0),
                           "unit": "streams", "vs_baseline": None,
                           "detail": {"knee": points}}))
         return
@@ -577,19 +578,10 @@ def main():
         text_emb = np.asarray(text_emb, np.float32).reshape(-1, dec_idim)[None]
         prefix = hiddens.reshape(-1, dec_idim)[None]
 
-        def bucket_pad(x):
-            x = np.asarray(x, np.float32)
-            t = x.shape[1]
-            tb = ((t + tts.BUCKET - 1) // tts.BUCKET) * tts.BUCKET
-            mask = np.zeros((x.shape[0], tb), bool)
-            mask[:, :t] = True
-            if tb != t:
-                x = np.concatenate(
-                    [x, np.zeros((x.shape[0], tb - t, x.shape[2]), x.dtype)], 1)
-            return jnp.asarray(x), jnp.asarray(mask)
+        from freeze_omni_tpu.tts import bucket_pad
 
-        hb, hm = bucket_pad(text_emb)
-        pb, pm = bucket_pad(prefix)
+        hb, hm = bucket_pad(text_emb, tts.BUCKET)
+        pb, pm = bucket_pad(prefix, tts.BUCKET)
         cache = tts._preamble(tts.params["decoder"], dcfg, hb, hm, pb, pm)
         jax.block_until_ready(cache)
         t2 = time.perf_counter()
@@ -679,7 +671,7 @@ def main():
     knee = None
     if args.knee and args.preset == "bench":
         log("stream-count knee sweep...")
-        knee = knee_detail(cfg, args, params, llm_dtype)
+        knee = knee_detail(cfg, args, params)
 
     cold_warm = {"cold_params_s": round(params_s, 1),
                  "cold_warmup_s": round(warmup_s, 1),
@@ -696,9 +688,12 @@ def main():
         import subprocess
 
         log("warm-restart probe (child process)...")
+        # the child must replay the EXACT parent configuration — a config
+        # mismatch would measure cold compiles and call them "warm"
         child_args = [sys.executable, os.path.abspath(__file__),
                       "--layers", str(args.layers), "--trials", "1",
                       "--sentence_tokens", str(args.sentence_tokens),
+                      "--preset", args.preset, "--wbits", str(args.wbits),
                       "--warm-child", "--no-warm-probe", "--no-knee"]
         if not args.quant:
             child_args.append("--no-quant")

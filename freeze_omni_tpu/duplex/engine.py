@@ -264,10 +264,11 @@ class DuplexSession:
         self.past_key_values = kv
         c.update(adapter_cache=adp, encoder_cache=enc, pe_index=pe)
         # exact host-side append accounting: chat prefix on ipu_sl + the
-        # chunk's adapter tokens (fbank T -> conv2d/4 -> adapter stride 2)
-        t_sub = ((np.asarray(feat["feature"]).shape[-2] - 1) // 2 - 1) // 2
-        self._kv_len += (t_sub + 1) // 2 + (
-            self._prefix_len[identity] if feat["status"] == "ipu_sl" else 0)
+        # chunk's adapter tokens
+        from ..models.audio_llm import chunk_tokens
+
+        self._kv_len += chunk_tokens(np.asarray(feat["feature"]).shape[-2]) \
+            + (self._prefix_len[identity] if feat["status"] == "ipu_sl" else 0)
 
         if pred is None:
             return

@@ -44,9 +44,16 @@ class EnergyVAD:
     def get_chunk_size(self) -> int:
         return self.chunk
 
+    # floor adaptation freezes during an IPU, but only up to this many
+    # consecutive in-speech chunks (~10 s at the 224 ms cadence): past it the
+    # "speech" is treated as a stepped-up background (fan/AC turning on) and
+    # the window resumes absorbing it so the false IPU can close
+    FLOOR_FREEZE_CHUNKS = 45
+
     def reset(self) -> None:
         self.in_speech = False
         self.silence_run = 0
+        self.speech_run = 0
         self.noise_floor = 1e-4  # running RMS estimate of background
         # minimum-statistics window: ~25 chunks (5.6 s at the 224 ms cadence)
         self._rms_window: list = []
@@ -71,8 +78,12 @@ class EnergyVAD:
         # statistics refinement): during a long utterance the window would
         # otherwise fill with speech RMS, the floor would climb to the
         # clamp, and a quiet speaker would be cut mid-sentence once
-        # min_silence_s of now-sub-threshold frames accumulated.
-        if rms > 3e-5 and not self.in_speech:
+        # min_silence_s of now-sub-threshold frames accumulated. The freeze
+        # is BOUNDED (FLOOR_FREEZE_CHUNKS): an "utterance" that never ends
+        # is a stepped-up background (fan/AC onset misread as speech), and
+        # an unbounded freeze would hold that IPU open forever.
+        if rms > 3e-5 and (not self.in_speech
+                           or self.speech_run > self.FLOOR_FREEZE_CHUNKS):
             self._rms_window.append(rms)
             if len(self._rms_window) > self._rms_window_len:
                 self._rms_window.pop(0)
@@ -95,6 +106,7 @@ class EnergyVAD:
             if is_speech:
                 self.in_speech = True
                 self.silence_run = 0
+                self.speech_run = 1
                 status = "ipu_sl"
                 cached = list(self.history)  # speech-pad onset replay
             else:
@@ -102,6 +114,7 @@ class EnergyVAD:
                 if len(self.history) > self.cfg.history_cache_chunks:
                     self.history.pop(0)
         else:
+            self.speech_run += 1
             if is_speech:
                 self.silence_run = 0
                 status = "ipu_cl"
@@ -110,6 +123,7 @@ class EnergyVAD:
                 if self.silence_run >= self.min_silence_chunks:
                     self.in_speech = False
                     self.silence_run = 0
+                    self.speech_run = 0
                     self.history = []
                     status = "ipu_el"
                 else:

@@ -63,6 +63,12 @@ def init_params(key, cfg: AdapterConfig, dtype=jnp.float32) -> dict:
     }
 
 
+def out_len(t_enc: int) -> int:
+    """LLM embeddings per t_enc encoder frames (the stride-2 conv emits
+    ceil(T/2) in streaming — left-context cache, no trailing carry)."""
+    return (t_enc + 1) // 2
+
+
 def _act(cfg: AdapterConfig, x):
     return jax.nn.gelu(x) if cfg.activation == "gelu" else jax.nn.relu(x)
 

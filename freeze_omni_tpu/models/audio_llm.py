@@ -146,6 +146,15 @@ def _select_adapter_state(active, new, old):
     )
 
 
+def chunk_tokens(t_fbank: int) -> int:
+    """LLM embeddings appended to the KV per fbank window of t_fbank frames
+    (Conv2dSubsampling4 then the adapter's stride-2 conv). The host KV-length
+    mirrors in duplex/engine.py and runtime/engine.py MUST use this — a
+    hand-copied derivation that drifts from the model fires the roll late
+    (silent attention corruption)."""
+    return adapter_mod.out_len(encoder_mod.subsampled_len(t_fbank))
+
+
 def recognize_step(
     params, cfg: AudioLLMConfig, identity: str,
     fbank_chunk: jnp.ndarray,        # [B, T_f, 80]

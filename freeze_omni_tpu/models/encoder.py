@@ -138,6 +138,12 @@ def init_params(key, cfg: EncoderConfig, dtype=jnp.float32) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def subsampled_len(t_in: int) -> int:
+    """Frames out of Conv2dSubsampling4 for t_in fbank frames (two stride-2
+    valid 3x3 convs)."""
+    return ((t_in - 1) // 2 - 1) // 2
+
+
 def _subsample(params, x):
     """Conv2dSubsampling4 (subsampling.py:15-73). x: [B, T, F] -> [B, T', d]."""
     x = x[:, None, :, :]  # [B, 1, T, F]

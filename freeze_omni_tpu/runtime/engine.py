@@ -87,14 +87,14 @@ class ServingEngine:
         self._len_host: Optional[np.ndarray] = None
         # per-step KV growth bound for fire-and-forget steps: chat-prefix
         # splice (tokenizer-dependent — ~5 ids with the Qwen BPE, ~26-32 with
-        # the ByteTokenizer) + the adapter tokens of one gating chunk. Derived,
-        # not hard-coded: an under-estimate would let kv.length outrun the
-        # mirror and fire the roll late (silent attention corruption).
-        g = cfg.duplex.gating
-        t_sub = ((g.frames_per_step - 1) // 2 - 1) // 2
+        # the ByteTokenizer) + the adapter tokens of one gating chunk. Derived
+        # from the model's own arithmetic, not hard-coded: an under-estimate
+        # would let kv.length outrun the mirror and fire the roll late
+        # (silent attention corruption).
         self._step_append_bound = int(max(
             self.core.user_prefix_embeds.shape[0],
-            self.core.system_prefix_embeds.shape[0])) + (t_sub + 1) // 2
+            self.core.system_prefix_embeds.shape[0])) + \
+            audio_llm.chunk_tokens(cfg.duplex.gating.frames_per_step)
 
     # ------------------------------------------------------------------
     # session management

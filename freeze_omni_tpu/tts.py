@@ -53,6 +53,21 @@ def find_min_seam(buffer: np.ndarray, syn: np.ndarray, N: int,
     return np.concatenate([buffer, syn], axis=-1), None
 
 
+def bucket_pad(x, bucket: int):
+    """Pad [B, T, D] frames to a multiple of `bucket` along T; returns
+    (jnp array, [B, Tb] validity mask). One shared definition — the bench's
+    stage decomposition measures the same preamble shapes serving runs."""
+    x = np.asarray(x, np.float32)
+    t = x.shape[1]
+    tb = ((t + bucket - 1) // bucket) * bucket
+    mask = np.zeros((x.shape[0], tb), bool)
+    mask[:, :t] = True
+    if tb != t:
+        x = np.concatenate(
+            [x, np.zeros((x.shape[0], tb - t, x.shape[2]), x.dtype)], 1)
+    return jnp.asarray(x), jnp.asarray(mask)
+
+
 class StreamingTTS:
     """hidden states + (optional) prefix -> streaming 24 kHz PCM segments."""
 
@@ -123,20 +138,9 @@ class StreamingTTS:
 
         dcfg = cfg.decoder
 
-        def bucket_pad(x):
-            x = np.asarray(x, np.float32)
-            t = x.shape[1]
-            tb = ((t + self.BUCKET - 1) // self.BUCKET) * self.BUCKET
-            mask = np.zeros((x.shape[0], tb), bool)
-            mask[:, :t] = True
-            if tb != t:
-                x = np.concatenate(
-                    [x, np.zeros((x.shape[0], tb - t, x.shape[2]), x.dtype)], 1)
-            return jnp.asarray(x), jnp.asarray(mask)
-
-        hidden, h_mask = bucket_pad(hidden)
+        hidden, h_mask = bucket_pad(hidden, self.BUCKET)
         if prefix is not None and dcfg.use_prefix_kv:
-            prefix, p_mask = bucket_pad(prefix)
+            prefix, p_mask = bucket_pad(prefix, self.BUCKET)
             cache = self._preamble(self.params["decoder"], dcfg, hidden, h_mask,
                                    prefix, p_mask)
         else:

@@ -177,3 +177,24 @@ class TestEnergyVADMinStats:
                     for _ in range(40)]
         assert all(s == "ipu_cl" for s in statuses), statuses
         assert vad.noise_floor < 5e-4  # floor never absorbed the speech
+
+    def test_stepped_up_background_eventually_closes_ipu(self):
+        """The floor freeze is BOUNDED: a fan/AC turning on reads as an IPU
+        onset, but past FLOOR_FREEZE_CHUNKS the window resumes absorbing the
+        new background, the floor rises to it, and ipu_el fires — an
+        unbounded freeze would stream noise into the predictor forever."""
+        from freeze_omni_tpu.config import VADConfig
+        from freeze_omni_tpu.duplex.vad import EnergyVAD
+
+        vad = EnergyVAD(VADConfig(chunk_size=512))
+        quiet = (1e-4 * np.random.RandomState(2).randn(512)).astype(np.float32)
+        fan = (2e-3 * np.random.RandomState(3).randn(512)).astype(np.float32)
+        for _ in range(3):
+            vad.predict({"audio": quiet, "time_stamp": 0.0})
+        assert vad.predict({"audio": fan, "time_stamp": 0.0})["status"] == \
+            "ipu_sl"  # the step-up is indistinguishable from speech at onset
+        statuses = [vad.predict({"audio": fan, "time_stamp": 0.0})["status"]
+                    for _ in range(vad.FLOOR_FREEZE_CHUNKS
+                                   + vad._rms_window_len
+                                   + vad.min_silence_chunks + 10)]
+        assert "ipu_el" in statuses, "false IPU never closed on steady noise"
