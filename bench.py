@@ -42,12 +42,17 @@ V5E_PEAK_BF16 = 197e12    # v5e bf16 MXU peak FLOP/s
 
 
 def _bench_params(cfg, llm_dtype, quant, seed=0, wbits=8):
-    """Init the full param tree; int8/int4 backbone when quant."""
+    """Init the full param tree; int8/int4 backbone when quant; bf16
+    frontend whenever serving runs in half precision (the f32 encoder was
+    measured tick-dominating at 64 sessions — audio_llm.cast_frontend)."""
     from freeze_omni_tpu.models import audio_llm
 
-    return audio_llm.init_params(jax.random.PRNGKey(seed), cfg.audio_llm,
-                                 llm_dtype=llm_dtype, quantize_llm=quant,
-                                 quant_bits=wbits)
+    params = audio_llm.init_params(jax.random.PRNGKey(seed), cfg.audio_llm,
+                                   llm_dtype=llm_dtype, quantize_llm=quant,
+                                   quant_bits=wbits)
+    if quant or llm_dtype == jnp.bfloat16:
+        params = audio_llm.cast_frontend(params, jnp.bfloat16)
+    return params
 
 
 def _llm_footprint(params):
@@ -463,9 +468,7 @@ def main():
         return
 
     t0 = time.time()
-    params = audio_llm.init_params(jax.random.PRNGKey(0), acfg,
-                                   llm_dtype=llm_dtype, quantize_llm=quant,
-                                   quant_bits=args.wbits)
+    params = _bench_params(cfg, llm_dtype, quant, wbits=args.wbits)
     if quant:
         log(f"LLM weights int{args.wbits} weight-only (layers + embeddings)")
 

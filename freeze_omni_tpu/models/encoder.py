@@ -246,13 +246,14 @@ def forward(params, cfg: EncoderConfig, xs: jnp.ndarray,
             apply_cmvn: bool = True) -> jnp.ndarray:
     """Full-sequence forward (parity with speechEncoder.forward semantics for
     static chunk masks). xs: [B, T_in, F] raw fbank. Returns [B, T', d]."""
+    xs = xs.astype(params["cmvn"]["mean"].dtype)
     if apply_cmvn:
         xs = (xs - params["cmvn"]["mean"]) * params["cmvn"]["istd"]
     x = _subsample(params["sub"], xs)
     x = _embed(params["embed"], x)
     x = x * math.sqrt(cfg.attention_dim)
     T = x.shape[1]
-    pos_emb = sinusoidal_pe(jnp.arange(T), cfg.attention_dim)
+    pos_emb = sinusoidal_pe(jnp.arange(T), cfg.attention_dim).astype(x.dtype)
     if cfg.pos_enc == "abs-enc":
         # PositionalEncoding.forward: x = x*xscale + pe[:T] (attention.py:36-52)
         x = x + pos_emb[None]
@@ -290,7 +291,11 @@ def stream_step(params, cfg: EncoderConfig, xs: jnp.ndarray,
     (encoder.py:149-155, transformer.py:266-285, attention.py:407-459): queries
     attend over cached-window + current chunk with *no* intra-chunk causal mask;
     the cache then retains the most recent `window` keys. valid/pe_index are
-    per-batch so sessions at different lifetimes batch together."""
+    per-batch so sessions at different lifetimes batch together.
+
+    Compute dtype follows the params (audio_llm.cast_frontend): an f32 input
+    chunk must not promote a bf16 tree back to f32 matmuls."""
+    xs = xs.astype(params["cmvn"]["mean"].dtype)
     xs = (xs - params["cmvn"]["mean"]) * params["cmvn"]["istd"]
     x = _subsample(params["sub"], xs)
     x = _embed(params["embed"], x)
@@ -310,7 +315,8 @@ def stream_step(params, cfg: EncoderConfig, xs: jnp.ndarray,
         # pe_max_len to stay inside the reference's asserted table bound.
         pe_idx = jnp.mod(state.pe_index, cfg.pe_max_len)          # [B]
         positions = pe_idx[:, None] + jnp.arange(T)[None, :]      # [B, T]
-        x = x + sinusoidal_pe(positions.reshape(-1), d).reshape(B, T, d)
+        x = x + sinusoidal_pe(positions.reshape(-1), d
+                              ).reshape(B, T, d).astype(x.dtype)
         pos_emb = jnp.zeros((1, S, d), x.dtype)  # unused in abs attention
         pe_next = pe_idx + T
     else:
@@ -319,7 +325,10 @@ def stream_step(params, cfg: EncoderConfig, xs: jnp.ndarray,
         start = jnp.maximum(0, pe_idx - cfg.full_chunk_size)      # [B]
         # slot s holds key number j = s - (cap - valid); position is start + j
         positions = start[:, None] + slot - (cap - valid)[:, None]  # [B, S]
-        pos_emb = sinusoidal_pe(positions.reshape(-1), d).reshape(B, S, d)
+        # PE in the compute dtype: an f32 table would upcast the bf16
+        # attention path (and break the layer-scan carry dtype)
+        pos_emb = sinusoidal_pe(positions.reshape(-1), d
+                                ).reshape(B, S, d).astype(x.dtype)
         pe_next = pe_idx + cfg.chunk_size
     keep = slot >= (cap - valid)[:, None]                         # [B, S]
     mask = keep[:, None, None, :]                                 # [B, H, T, S]

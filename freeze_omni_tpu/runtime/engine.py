@@ -40,6 +40,12 @@ class ServingEngine:
         §2.3); one replica per ~15GB GPU is replaced by one sharded model."""
         self.cfg = cfg
         self.core = _Core(cfg, params, tokenizer, seed, llm_dtype=kv_dtype)
+        if kv_dtype == jnp.bfloat16:
+            # serving in half precision: the frontend must follow (its f32
+            # matmuls skip the MXU fast path — measured tick-dominating at
+            # 64 sessions; audio_llm.cast_frontend)
+            self.core.params = audio_llm.cast_frontend(self.core.params,
+                                                       kv_dtype)
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
