@@ -173,11 +173,20 @@ class Server:
                         f"--tp {args.tp} needs {args.tp} devices, have {n}")
                 mesh = make_mesh((1, args.tp), ("data", "model"),
                                  devices=jax.devices()[: args.tp])
+            # full-scale serving runs half precision (bf16 KV + frontend,
+            # audio_llm.cast_frontend — the f32 encoder was measured
+            # tick-dominating); the tiny weightless preset stays f32 so the
+            # websocket tests and the solo pipeline agree bit-for-bit
+            import jax.numpy as jnp
+
+            kv_dtype = (jnp.float32
+                        if args.preset == "tiny" and not args.model_path
+                        else jnp.bfloat16)
             self.service = DuplexService(cfg, seed=args.seed,
                                          tts_params=svc_tts,
                                          params=self._ckpt_params,
                                          tokenizer=self._tokenizer,
-                                         mesh=mesh)
+                                         mesh=mesh, kv_dtype=kv_dtype)
             self.pipeline = None
             self._svc_stop = threading.Event()
 
