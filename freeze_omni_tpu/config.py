@@ -353,7 +353,17 @@ class VADConfig:
     threshold: float = 0.5
     min_silence_s: float = 0.5
     speech_pad_s: float = 0.03
-    history_cache_chunks: int = 2
+    # sustained speech required to OPEN an IPU (silero's min_speech_duration
+    # role): brief excursions — babble spikes, clicks — must not trigger.
+    # Expressed in SECONDS because the chunk size varies by deployment
+    # (512 samples standalone, 224 ms in the duplex engine, where one chunk
+    # already averages ~28 frames and debounces intrinsically). The onset is
+    # retroactive: pending chunks replay from the history ring on confirm,
+    # so no audio is lost, only the decision is debounced.
+    min_speech_s: float = 0.128
+    # must cover the debounce window + speech pad so the replay reaches
+    # back to the true onset
+    history_cache_chunks: int = 6
     # 'learned' = log-mel GRU (assets/vad.npz, trained by training/vad.py,
     # the silero-vad role); 'energy' = adaptive-noise-floor fallback
     kind: str = "learned"

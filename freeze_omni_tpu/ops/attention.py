@@ -230,8 +230,8 @@ def decode_attention_blocked(q, k_cache, v_cache, length, block: int = 256,
         in_specs=[
             pl.BlockSpec((1, H, dk), lambda b, L: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full cache stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # full cache stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, H, dk), lambda b, L: (b, 0, 0),
                                memory_space=pltpu.VMEM),

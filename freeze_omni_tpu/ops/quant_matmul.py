@@ -107,6 +107,16 @@ def pick_block_o(O: int) -> int:
 # second model on one chip), not the production decode path: int8 + XLA
 # dequant stays the default.
 #
+# XLA-native int4 was ALSO measured and closed (round 3): (a) S4 arrays
+# cannot cross a jit boundary on this jax/axon stack at all — argument
+# relayout of S4 recurses in _array_shard_arg (RecursionError), eager ops
+# included; (b) the boundary-safe variant (uint8 packed along the OUTPUT
+# dim + in-jit lax.bitcast_convert_type -> int4 -> free reshape, no
+# transpose) compiles and is numerically right, but XLA materializes the
+# unpack instead of fusing it into the dot operand read: 32.6 ms for a
+# 28-layer [1,3584]x[3584,18944] ffn scan vs int8's 4.7 ms (probe,
+# dispatch-amortized). int8's dequant fuses; int4's does not, by 7x.
+#
 # Packing (ops/quant.quantize_linear_int4): packed[i, o] holds unpacked rows
 # 2i (low nibble) and 2i+1 (high nibble). Instead of interleaving rows
 # in-kernel (an awkward sublane relayout), the CALLER splits the activation

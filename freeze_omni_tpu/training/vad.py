@@ -4,13 +4,14 @@ The reference pins silero-vad 5.1.2 for its `periphrals.PureVAD`
 (requirements.txt:6, bin/dialog_state_pred.py:134); silero weights cannot be
 shipped here, so this module trains a small frame-level GRU on synthetic
 mixtures (harmonic voiced speech with formants and syllabic modulation vs
-stationary + nonstationary noise: white/pink, tonal music chords, bursts).
-Energy thresholds fail exactly on the nonstationary cases; a spectral GRU
-does not.
+stationary + nonstationary noise: white/pink, tonal music chords, bursts,
+hum, and multi-talker babble — with LOUD non-speech foreground segments in
+the mixtures so the model learns voicing, not level). Energy thresholds
+fail exactly on the nonstationary cases; a spectral GRU does not.
 
 Model (shared math with the numpy inference in duplex/vad.py):
   log-mel frames (16 ms / 8 ms Kaldi fbank, 40 bins) -> affine norm ->
-  GRU(40 -> 32) -> sigmoid head -> per-frame speech probability.
+  GRU(40 -> 48) -> sigmoid head -> per-frame speech probability.
 
 Run:  python -m freeze_omni_tpu.training.vad --out freeze_omni_tpu/assets/vad.npz
 """
@@ -30,7 +31,7 @@ SR = 16000
 # 16 ms / 8 ms frames (the duplex-path fbank timing), 40 mel bins
 VAD_FBANK = FbankConfig(frame_length_ms=16.0, frame_shift_ms=8.0,
                         num_mel_bins=40)
-HIDDEN = 32
+HIDDEN = 48
 N_MEL = 40
 
 
@@ -61,10 +62,24 @@ def synth_speech(rng: np.random.RandomState, n: int) -> np.ndarray:
     return (sig / (np.abs(sig).max() + 1e-8)).astype(np.float32)
 
 
+def synth_babble(rng: np.random.RandomState, n: int) -> np.ndarray:
+    """Background babble: several overlapping speech streams at staggered
+    onsets. Individually each stream has speech acoustics; summed, the pitch
+    tracks and syllabic modulations decorrelate — the cue separating crowd
+    chatter (must NOT open an IPU) from one foreground talker (must)."""
+    x = np.zeros(n, np.float32)
+    for _ in range(rng.randint(5, 9)):
+        seg = rng.randint(3 * n // 4, n)  # dense: >=2 voices ~everywhere
+        start = rng.randint(0, n - seg + 1)
+        x[start : start + seg] += (synth_speech(rng, seg)
+                                   * rng.uniform(0.2, 0.6))
+    return (x / (np.abs(x).max() + 1e-8)).astype(np.float32)
+
+
 def synth_noise(rng: np.random.RandomState, n: int) -> np.ndarray:
     """Nonspeech: white/pink noise, tonal chords (music-like), noise bursts
-    (door slams / clicks), and low-frequency hum."""
-    kind = rng.randint(4)
+    (door slams / clicks), low-frequency hum, and multi-talker babble."""
+    kind = rng.randint(5)
     t = np.arange(n) / SR
     if kind == 0:  # white / pink
         x = rng.randn(n)
@@ -90,15 +105,23 @@ def synth_noise(rng: np.random.RandomState, n: int) -> np.ndarray:
             ln = rng.randint(100, 400)
             x[s : s + ln] += rng.randn(ln) * np.hanning(ln)
         x += 0.05 * rng.randn(n)
-    else:  # hum + harmonics
+    elif kind == 3:  # hum + harmonics
         f = rng.uniform(50, 120)
         x = sum((1.0 / k) * np.sin(2 * np.pi * k * f * t) for k in range(1, 4))
+    else:  # multi-talker babble
+        return synth_babble(rng, n)
     return (x / (np.abs(x).max() + 1e-8)).astype(np.float32)
 
 
 def make_mixture(rng: np.random.RandomState, seconds: float = 2.0):
     """-> (waveform [-1,1], per-frame labels). Speech segments at random SNR
-    over a noise bed; labels follow the speech gate at frame resolution."""
+    over a noise bed; labels follow the speech gate at frame resolution.
+
+    Segments alternate speech (labeled 1) with occasional LOUD negatives
+    (babble/music/bursts at foreground amplitude, labeled 0): without them
+    the only loud events in training are speech and the model learns
+    level, not voicing — measured babble FPR 0.80 before, speech-level
+    discrimination requires speech-level counterexamples."""
     n = int(seconds * SR)
     noise = synth_noise(rng, n) * rng.uniform(0.01, 0.3)
     wav = noise.copy()
@@ -106,11 +129,19 @@ def make_mixture(rng: np.random.RandomState, seconds: float = 2.0):
     pos = rng.randint(0, n // 4)
     while pos < n - SR // 4:
         seg = rng.randint(SR // 4, SR)
-        if rng.rand() < 0.65:
+        draw = rng.rand()
+        if draw < 0.6:
             seg = min(seg, n - pos)
             amp = rng.uniform(0.05, 0.8)
             wav[pos : pos + seg] += synth_speech(rng, seg) * amp
             gate[pos : pos + seg] = True
+        elif draw < 0.8:  # loud non-speech foreground, labeled 0 —
+            # half of them babble, the one negative that shares speech
+            # acoustics and so needs the most counterexamples
+            seg = min(seg, n - pos)
+            neg = (synth_babble(rng, seg) if rng.rand() < 0.5
+                   else synth_noise(rng, seg))
+            wav[pos : pos + seg] += neg * rng.uniform(0.2, 0.8)
         pos += seg + rng.randint(SR // 8, SR // 2)
     peak = np.abs(wav).max() + 1e-8
     if peak > 1.0:

@@ -13,7 +13,9 @@ from freeze_omni_tpu.utils.queues import PCMQueue, ThreadSafeQueue
 
 class TestEnergyVAD:
     def test_ipu_lifecycle(self):
-        cfg = VADConfig(chunk_size=512, min_silence_s=0.064)  # 2 chunks
+        cfg = VADConfig(chunk_size=512, min_silence_s=0.064,  # 2 chunks
+                min_speech_s=0.0)  # immediate onset: lifecycle,
+        # not debounce, is under test here (debounce: test_vad.py)
         vad = EnergyVAD(cfg)
         loud = 0.5 * np.sin(2 * np.pi * 440 * np.arange(512) / 16000)
         quiet = np.zeros(512, np.float32)

@@ -6,8 +6,11 @@ from freeze_omni_tpu.runtime.service import DuplexService
 
 
 def _speech(n, seed=0):
-    t = np.arange(n) / 16000
-    return (0.5 * np.sin(2 * np.pi * 210 * t)).astype(np.float32)
+    # a real speech surrogate (harmonic stack + formants + syllabic AM):
+    # the learned VAD rejects pure tones as music/hum, as it should
+    from freeze_omni_tpu.training.vad import synth_speech
+
+    return synth_speech(np.random.RandomState(seed), n) * 0.5
 
 
 class TestDuplexService:
