@@ -117,6 +117,16 @@ def pick_block_o(O: int) -> int:
 # 28-layer [1,3584]x[3584,18944] ffn scan vs int8's 4.7 ms (probe,
 # dispatch-amortized). int8's dequant fuses; int4's does not, by 7x.
 #
+# W8A8 (dynamic activation quant, int8 x int8 -> int32 MXU) was measured and
+# closed for PREFILL too (round 3): at the 128-stream recognize-prefill shape
+# ([512, 3584] x [3584, 18944], 64-step carried scan, scalar readback),
+# bf16 dense ran 118.9 TFLOP/s, weight-only int8->bf16 123.1, and W8A8 with
+# per-tensor dynamic amax 100.6 — the round/clip/rescale around each matmul
+# costs more than int8 MXU throughput returns at these shapes, and weight-only
+# already matches dense bf16 while halving weight HBM traffic. Weight-only
+# int8 therefore stays the production path for BOTH decode and prefill; no
+# W8A8 mode is exposed.
+#
 # Packing (ops/quant.quantize_linear_int4): packed[i, o] holds unpacked rows
 # 2i (low nibble) and 2i+1 (high nibble). Instead of interleaving rows
 # in-kernel (an awkward sublane relayout), the CALLER splits the activation
