@@ -77,7 +77,12 @@ def prefill_detail(cfg, args, params):
     K = 8  # chained steps per dispatch
     caches = audio_llm.init_session(acfg, B, kv_dtype=jnp.bfloat16)
     prefix = jnp.zeros((9, acfg.llm.hidden), jnp.bfloat16)
-    chunk = jnp.asarray(np.random.RandomState(0).randn(B, 32, 80), jnp.float32)
+    # frame count must match the gating cadence the tokens/s + MFU math
+    # divides by (chunk_tokens(frames_per_step)) — a hard-coded 32 would
+    # silently skew both whenever the config changes the chunk duration
+    frames = cfg.duplex.gating.frames_per_step
+    chunk = jnp.asarray(np.random.RandomState(0).randn(B, frames, 80),
+                        jnp.float32)
     is_sl = jnp.zeros((B,), bool)
     active = jnp.ones((B,), bool)
 
@@ -156,12 +161,14 @@ def knee_detail(cfg, args, params):
                 cfg.audio_llm,
                 llm=_dc.replace(cfg.audio_llm.llm, max_kv_len=kv_len)),
             serving=_dc.replace(cfg.serving, max_sessions=streams))
+        engine = None
         try:
             engine = ServingEngine(c, params=params, seed=0,
                                    kv_dtype=jnp.bfloat16)
             for i in range(streams):
                 engine.open_session(f"s{i}")
-            chunk = [rng.randn(1, 32, 80).astype(np.float32)
+            frames = cfg.duplex.gating.frames_per_step
+            chunk = [rng.randn(1, frames, 80).astype(np.float32)
                      for _ in range(streams)]
 
             def tick(is_sl):
@@ -189,6 +196,9 @@ def knee_detail(cfg, args, params):
             log(f"knee: {streams} streams failed: {type(e).__name__}")
             points.append({"streams": streams, "kv_len": kv_len,
                            "error": type(e).__name__})
+            # drop the FAILED engine's buffers too, or they stay resident
+            # through the next (larger) point and cascade the failure
+            engine = None
             gc.collect()
     return points
 
@@ -682,8 +692,8 @@ def main():
         # leftover allocations)
         import gc
 
-        del caches, tts, tts_params
-        gc.collect()
+        caches = tts = tts_params = None  # keep names bound: the warm
+        gc.collect()                      # probe frees them too under --no-knee
         log("stream-count knee sweep...")
         knee = knee_detail(cfg, args, params)
 
@@ -705,7 +715,11 @@ def main():
         import gc
         import subprocess
 
-        del params
+        # free EVERYTHING this process holds on the chip, not just params:
+        # under --no-knee the latency-phase session caches and TTS params
+        # would otherwise stay resident and the child's "warm" numbers would
+        # measure allocation-retry stalls, not restart cost
+        params = caches = tts = tts_params = None
         gc.collect()
         log("warm-restart probe (child process)...")
         # the child must replay the EXACT parent configuration — a config

@@ -45,16 +45,34 @@ class EnergyVAD:
         self.min_speech_chunks = max(
             1, round(getattr(cfg, "min_speech_s", 0.0)
                      * cfg.sample_rate / self.chunk))
+        # All adaptation horizons are TIME-based and converted to chunks
+        # here: chunk duration varies 7x by deployment (512 samples
+        # standalone vs 224 ms inside the duplex engine), so fixed chunk
+        # counts would shrink a ~10 s freeze to ~1.4 s at the small chunk.
+        chunks_per_s = cfg.sample_rate / self.chunk
+        # floor adaptation freezes during an IPU, but only up to ~10 s of
+        # consecutive in-speech chunks: past it the "speech" is treated as a
+        # stepped-up background (fan/AC turning on) and the window resumes
+        # absorbing it so the false IPU can close
+        self.floor_freeze_chunks = max(1, round(
+            self.FLOOR_FREEZE_S * chunks_per_s))
+        # minimum-statistics window: ~5.6 s
+        self._rms_window_len = max(4, round(self.RMS_WINDOW_S * chunks_per_s))
+        # onset-replay ring capacity must cover the pending debounce window
+        # (min_speech_chunks - 1 unconfirmed chunks are parked here) PLUS the
+        # speech pad, or a confirmed onset would replay with its first chunks
+        # evicted — audio silently lost. cfg.history_cache_chunks is a floor,
+        # not a cap.
+        pad_chunks = max(1, round(cfg.speech_pad_s * chunks_per_s))
+        self.history_chunks = max(cfg.history_cache_chunks,
+                                  self.min_speech_chunks - 1 + pad_chunks)
         self.reset()
 
     def get_chunk_size(self) -> int:
         return self.chunk
 
-    # floor adaptation freezes during an IPU, but only up to this many
-    # consecutive in-speech chunks (~10 s at the 224 ms cadence): past it the
-    # "speech" is treated as a stepped-up background (fan/AC turning on) and
-    # the window resumes absorbing it so the false IPU can close
-    FLOOR_FREEZE_CHUNKS = 45
+    FLOOR_FREEZE_S = 10.0   # max noise-floor freeze inside one IPU
+    RMS_WINDOW_S = 5.6      # minimum-statistics sliding window
 
     def reset(self) -> None:
         self.in_speech = False
@@ -62,9 +80,7 @@ class EnergyVAD:
         self.speech_run = 0
         self.pending_run = 0  # consecutive speech chunks awaiting onset confirm
         self.noise_floor = 1e-4  # running RMS estimate of background
-        # minimum-statistics window: ~25 chunks (5.6 s at the 224 ms cadence)
         self._rms_window: list = []
-        self._rms_window_len = 25
         self.history: list = []  # last N chunks for onset replay
 
     def _prob(self, audio: np.ndarray) -> float:
@@ -86,11 +102,11 @@ class EnergyVAD:
         # otherwise fill with speech RMS, the floor would climb to the
         # clamp, and a quiet speaker would be cut mid-sentence once
         # min_silence_s of now-sub-threshold frames accumulated. The freeze
-        # is BOUNDED (FLOOR_FREEZE_CHUNKS): an "utterance" that never ends
-        # is a stepped-up background (fan/AC onset misread as speech), and
-        # an unbounded freeze would hold that IPU open forever.
+        # is BOUNDED (floor_freeze_chunks, ~10 s): an "utterance" that never
+        # ends is a stepped-up background (fan/AC onset misread as speech),
+        # and an unbounded freeze would hold that IPU open forever.
         if rms > 3e-5 and (not self.in_speech
-                           or self.speech_run > self.FLOOR_FREEZE_CHUNKS):
+                           or self.speech_run > self.floor_freeze_chunks):
             self._rms_window.append(rms)
             if len(self._rms_window) > self._rms_window_len:
                 self._rms_window.pop(0)
@@ -128,12 +144,12 @@ class EnergyVAD:
                     cached = list(self.history)  # onset + speech-pad replay
                 else:
                     self.history.append(audio)  # pending onset chunk
-                    if len(self.history) > self.cfg.history_cache_chunks:
+                    if len(self.history) > self.history_chunks:
                         self.history.pop(0)
             else:
                 self.pending_run = 0
                 self.history.append(audio)
-                if len(self.history) > self.cfg.history_cache_chunks:
+                if len(self.history) > self.history_chunks:
                     self.history.pop(0)
         else:
             self.speech_run += 1

@@ -247,9 +247,12 @@ class TestEnergyVADMinStats:
             vad.predict({"audio": quiet, "time_stamp": 0.0})
         ann = vad.predict({"audio": soft_speech, "time_stamp": 0.0})
         assert ann["status"] == "ipu_sl"
-        # 40 chunks ≈ 1.3 s at 512 samples — far past the old ~25-chunk window
+        # ~4.8 s of continuous quiet speech at the 512-sample (32 ms) chunk:
+        # far past both the min-stats window AND the old fixed 45-CHUNK
+        # freeze bound, which at this chunk size expired after only ~1.4 s —
+        # the freeze must be TIME-based to protect a real-length utterance
         statuses = [vad.predict({"audio": soft_speech, "time_stamp": 0.0})["status"]
-                    for _ in range(40)]
+                    for _ in range(150)]
         assert all(s == "ipu_cl" for s in statuses), statuses
         assert vad.noise_floor < 5e-4  # floor never absorbed the speech
 
@@ -269,7 +272,35 @@ class TestEnergyVADMinStats:
         assert vad.predict({"audio": fan, "time_stamp": 0.0})["status"] == \
             "ipu_sl"  # the step-up is indistinguishable from speech at onset
         statuses = [vad.predict({"audio": fan, "time_stamp": 0.0})["status"]
-                    for _ in range(vad.FLOOR_FREEZE_CHUNKS
+                    for _ in range(vad.floor_freeze_chunks
                                    + vad._rms_window_len
                                    + vad.min_silence_chunks + 10)]
         assert "ipu_el" in statuses, "false IPU never closed on steady noise"
+
+    def test_onset_replay_covers_debounce_window(self):
+        """Raising min_speech_s must not silently drop confirmed-onset audio:
+        the history ring capacity derives from the debounce window, so every
+        pending chunk (plus the speech pad) replays on ipu_sl."""
+        from freeze_omni_tpu.config import VADConfig
+        from freeze_omni_tpu.duplex.vad import EnergyVAD
+
+        cfg = VADConfig(chunk_size=512, min_speech_s=0.35)  # 11-chunk debounce
+        vad = EnergyVAD(cfg)
+        assert vad.min_speech_chunks == 11
+        assert vad.history_chunks >= vad.min_speech_chunks - 1 + 1
+        t = np.arange(512) / 16000
+        quiet = (1e-4 * np.random.RandomState(4).randn(512)).astype(np.float32)
+        for _ in range(3):
+            vad.predict({"audio": quiet, "time_stamp": 0.0})
+        # distinct speech chunks so the replay contents are checkable
+        onsets = [(0.3 * (1 + 0.01 * k) * np.sin(2 * np.pi * 200 * t))
+                  .astype(np.float32) for k in range(11)]
+        anns = [vad.predict({"audio": c, "time_stamp": 0.0}) for c in onsets]
+        assert [a["status"] for a in anns[:-1]] == [None] * 10  # debouncing
+        assert anns[-1]["status"] == "ipu_sl"
+        cached = anns[-1]["cached_audio"]
+        # all 10 pending chunks survive in order at the tail of the replay
+        # (whatever pad/quiet chunks precede them)
+        assert len(cached) >= 10
+        for got, want in zip(cached[-10:], onsets[:10]):
+            np.testing.assert_array_equal(got, want)
