@@ -1,13 +1,21 @@
-"""Training CLI: state-head + speech-decoder finetuning with checkpoint/resume.
+"""Training CLI: the Freeze-Omni curriculum with checkpoint/resume.
 
 The reference has no trainer, no saving, no resume (SURVEY.md §5: inference-
-only strict=False loads). This driver runs the Freeze-Omni recipe's trainable
-surface (encoder/adapter/state head against the frozen LLM, optional speech-
-decoder CE) with optax, orbax checkpointing, periodic save, and resume —
+only strict=False loads). This driver runs the paper recipe's stages against
+the frozen LLM with optax, orbax checkpointing, periodic save, and resume —
 data-parallel over a ('data','model') mesh when more than one device exists.
 
+Stages (--stage):
+  ctc      input-side 1: encoder ASR pretraining (CTC head, no LLM)
+  align    input-side 2: encoder+adapter text CE through the frozen LLM
+  prompt   input-side 3: prompt-embedding tuning only (tables frozen-LLM CE)
+  state    duplex: encoder/adapter/state-head chunk-label CE
+  decoder  output-side 2/3: AR speech-decoder teacher-forced CE
+  all      combined duplex step (state [+ decoder]) — default
+(Output-side stage 1, codec GAN training, is training/codec_gan.py.)
+
 Usage:
-  python -m freeze_omni_tpu.bin.train --preset tiny --steps 20 \
+  python -m freeze_omni_tpu.bin.train --preset tiny --stage align --steps 20 \
       --ckpt_dir /tmp/ckpt [--resume] [--batch 4] [--lr 1e-4]
 """
 
@@ -26,6 +34,10 @@ import numpy as np
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="freeze-omni-tpu trainer")
     p.add_argument("--preset", default="tiny", choices=["tiny", "flagship"])
+    p.add_argument("--stage", default="all",
+                   choices=["ctc", "align", "prompt", "state", "decoder",
+                            "all"])
+    p.add_argument("--ctc_vocab", type=int, default=16)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -52,14 +64,48 @@ def main(argv=None):
     sys_cfg = tiny_system() if args.preset == "tiny" else flagship_system()
     cfg, dcfg = sys_cfg.audio_llm, sys_cfg.tts.decoder
 
+    if args.stage == "prompt":
+        import dataclasses
+        cfg = dataclasses.replace(cfg, prompt_finetune=True)
     params = audio_llm.init_params(jax.random.PRNGKey(args.seed), cfg)
-    trainable = {
-        "encoder_user": params["encoder_user"],
-        "adapter_user": params["adapter_user"],
-        "predictor": params["predictor"],
-        "speech_decoder": sd.init_params(jax.random.PRNGKey(args.seed + 1), dcfg),
-    }
-    frozen = {"llm": params["llm"]}
+    if args.stage == "ctc":
+        trainable = {
+            "encoder_user": params["encoder_user"],
+            "ctc_head": ts.init_ctc_head(jax.random.PRNGKey(args.seed + 2),
+                                         cfg, vocab=args.ctc_vocab),
+        }
+        frozen = {}
+    elif args.stage == "align":
+        trainable = {
+            "encoder_user": params["encoder_user"],
+            "adapter_user": params["adapter_user"],
+        }
+        frozen = {"llm": params["llm"]}
+    elif args.stage == "prompt":
+        trainable = {"prompt_embeddings": params["prompt_embeddings"]}
+        frozen = {"llm": params["llm"],
+                  "encoder_user": params["encoder_user"],
+                  "adapter_user": params["adapter_user"]}
+    elif args.stage == "state":
+        trainable = {
+            "encoder_user": params["encoder_user"],
+            "adapter_user": params["adapter_user"],
+            "predictor": params["predictor"],
+        }
+        frozen = {"llm": params["llm"]}
+    elif args.stage == "decoder":
+        trainable = {"speech_decoder": sd.init_params(
+            jax.random.PRNGKey(args.seed + 1), dcfg)}
+        frozen = {}
+    else:  # all
+        trainable = {
+            "encoder_user": params["encoder_user"],
+            "adapter_user": params["adapter_user"],
+            "predictor": params["predictor"],
+            "speech_decoder": sd.init_params(
+                jax.random.PRNGKey(args.seed + 1), dcfg),
+        }
+        frozen = {"llm": params["llm"]}
 
     optimizer = ts.make_optimizer(lr=args.lr)
     state = ts.init_train_state(trainable, optimizer)
@@ -79,14 +125,20 @@ def main(argv=None):
         print(f"resumed from step {start_step}", flush=True)
 
     step_fn = jax.jit(
-        lambda s, b: ts.train_step(s, frozen, optimizer, cfg, dcfg, b))
+        lambda s, b: ts.stage_step(args.stage, s, frozen, optimizer, cfg,
+                                   dcfg, b))
 
+    if args.stage == "all":
+        batch_iter = data_mod.batches(cfg, dcfg, args.batch, args.steps,
+                                      seed=args.seed + start_step,
+                                      with_decoder=args.with_decoder)
+    else:
+        batch_iter = data_mod.stage_batches(args.stage, cfg, dcfg, args.batch,
+                                            args.steps,
+                                            seed=args.seed + start_step)
     losses = []
     t0 = time.time()
-    for i, batch in enumerate(
-            data_mod.batches(cfg, dcfg, args.batch, args.steps,
-                             seed=args.seed + start_step,
-                             with_decoder=args.with_decoder)):
+    for i, batch in enumerate(batch_iter):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
         loss = float(np.asarray(metrics["loss"]))

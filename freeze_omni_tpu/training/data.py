@@ -35,6 +35,55 @@ def synth_audio_llm_batch(seed: int, cfg: AudioLLMConfig, batch: int,
     }
 
 
+def _token_fbank(rng, tokens: np.ndarray, n_mel: int,
+                 frames_per_token: int) -> np.ndarray:
+    """Audio whose spectrum encodes the transcript: token t lights up mel bin
+    (3 + 5*t) % n_mel for its frame span, over a noise floor. Makes the
+    ASR objectives separable so training tests can assert learning, not just
+    finiteness."""
+    B, N = tokens.shape
+    T = N * frames_per_token
+    fb = rng.randn(B, T, n_mel).astype(np.float32) * 0.3
+    bins = (3 + 5 * tokens) % n_mel  # [B, N]
+    for i in range(N):
+        span = slice(i * frames_per_token, (i + 1) * frames_per_token)
+        for b in range(B):
+            fb[b, span, bins[b, i]] += 4.0
+    return fb
+
+
+def synth_ctc_batch(seed: int, cfg: AudioLLMConfig, batch: int,
+                    vocab: int = 16, text_len: int = 4,
+                    frames_per_token: int = 16) -> Dict[str, np.ndarray]:
+    """Input-side stage 1 fixture: fbank + CTC token targets (< vocab,
+    blank = vocab is excluded by construction)."""
+    rng = np.random.RandomState(seed)
+    tokens = rng.randint(0, vocab, size=(batch, text_len)).astype(np.int32)
+    fbank = _token_fbank(rng, tokens, cfg.encoder.input_dim, frames_per_token)
+    return {
+        "fbank": fbank,
+        "fbank_lens": np.full((batch,), fbank.shape[1], np.int32),
+        "tokens": tokens,
+        "token_lens": np.full((batch,), text_len, np.int32),
+    }
+
+
+def synth_asr_batch(seed: int, cfg: AudioLLMConfig, batch: int,
+                    vocab: int | None = None, text_len: int = 4,
+                    frames_per_token: int = 16) -> Dict[str, np.ndarray]:
+    """Input-side stage 2/3 fixture: fbank whose spectrum encodes the
+    transcript + the transcript ids for the causal-CE alignment loss."""
+    rng = np.random.RandomState(seed)
+    vocab = vocab if vocab is not None else min(cfg.llm.vocab_size, 32)
+    text = rng.randint(2, vocab, size=(batch, text_len)).astype(np.int32)
+    fbank = _token_fbank(rng, text, cfg.encoder.input_dim, frames_per_token)
+    return {
+        "fbank": fbank,
+        "text_ids": text,
+        "text_mask": np.ones((batch, text_len), bool),
+    }
+
+
 def synth_decoder_batch(seed: int, cfg: SpeechDecoderConfig, batch: int,
                         hidden_len: int = 6, y_len: int = 8
                         ) -> Dict[str, np.ndarray]:
@@ -55,3 +104,24 @@ def batches(cfg: AudioLLMConfig, dcfg: SpeechDecoderConfig, batch: int,
         if with_decoder:
             b.update(synth_decoder_batch(seed + 1000 + i, dcfg, batch))
         yield b
+
+
+def stage_batches(stage: str, cfg: AudioLLMConfig, dcfg: SpeechDecoderConfig,
+                  batch: int, steps: int, seed: int = 0
+                  ) -> Iterator[Dict[str, np.ndarray]]:
+    """Synthetic batches for one curriculum stage (train_step.STAGES)."""
+    for i in range(steps):
+        if stage == "ctc":
+            yield synth_ctc_batch(seed + i, cfg, batch)
+        elif stage in ("align", "prompt"):
+            yield synth_asr_batch(seed + i, cfg, batch)
+        elif stage == "state":
+            yield synth_audio_llm_batch(seed + i, cfg, batch)
+        elif stage == "decoder":
+            yield synth_decoder_batch(seed + i, dcfg, batch)
+        elif stage == "all":
+            b = synth_audio_llm_batch(seed + i, cfg, batch)
+            b.update(synth_decoder_batch(seed + 1000 + i, dcfg, batch))
+            yield b
+        else:
+            raise ValueError(f"unknown stage {stage!r}")

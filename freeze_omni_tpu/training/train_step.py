@@ -8,12 +8,20 @@ speech decoder has a CE training forward with block masks
 (models/decoder/decoder.py:190-292). This module provides jittable, mesh-
 shardable train steps for both:
 
-- `audio_llm_loss`: fbank -> encoder -> adapter -> frozen-LLM causal forward ->
-  4-class state-head CE per chunk (chunk labels as in system.png: 0 continue,
-  1 respond, 2 end-without-response).
-- `speech_decoder_loss`: pre-NN + main-stack teacher-forced CE over
-  [hidden; sos,y] with the reference's visibility structure (hidden block
-  bidirectional; tokens causal, attending the hidden block).
+- `encoder_ctc_loss`: input-side stage 1 — encoder ASR pretraining with a CTC
+  head (no LLM involved), the curriculum's first stage.
+- `asr_align_loss`: input-side stages 2/3 — fbank -> encoder -> adapter ->
+  frozen-LLM causal forward over [prompt?; audio; transcript] with text CE.
+  Which parts train is decided purely by membership in the `trainable` dict
+  (stage 2: adapter [+encoder]; stage 3: prompt_embeddings only), so one loss
+  serves both stages.
+- `audio_llm_loss`: duplex stage — fbank -> encoder -> adapter -> frozen-LLM
+  causal forward -> 4-class state-head CE per chunk (chunk labels as in
+  system.png: 0 continue, 1 respond, 2 end-without-response).
+- `speech_decoder_loss`: output-side — pre-NN + main-stack teacher-forced CE
+  over [hidden; sos,y] with the reference's visibility structure (hidden block
+  bidirectional; tokens causal, attending the hidden block). (Output-side
+  stage 1, the codec itself, lives in training/codec_gan.py.)
 - `TrainState.step`: optax adamw on the trainable subset; LLM params are
   donated frozen inputs (no optimizer state, no grads) — DP over 'data',
   TP over 'model' via the shardings in parallel/mesh.py.
@@ -33,7 +41,79 @@ from ..models import adapter as adapter_mod
 from ..models import audio_llm, qwen2
 from ..models import encoder as encoder_mod
 from ..models import speech_decoder as sd
-from ..models.layers import linear
+from ..models.layers import linear, linear_init
+
+
+def init_ctc_head(key, cfg: AudioLLMConfig, vocab: int) -> dict:
+    """CTC projection for input-side stage 1: encoder dim -> vocab+1 (the
+    extra class is the blank, id = vocab)."""
+    return linear_init(key, cfg.encoder.output_dim, vocab + 1,
+                       dtype=jnp.float32)
+
+
+def encoder_ctc_loss(trainable, cfg: AudioLLMConfig,
+                     fbank: jnp.ndarray, fbank_lens: jnp.ndarray,
+                     tokens: jnp.ndarray, token_lens: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Input-side stage 1 (the paper's encoder ASR pretraining): encoder +
+    CTC head, mean per-utterance CTC negative log-likelihood.
+
+    trainable: {'encoder_user', 'ctc_head'}. fbank [B, T, 80] with per-row
+    valid frame counts `fbank_lens`; tokens [B, N] int targets (ids < vocab,
+    blank excluded) with `token_lens`. The encoder's chunk-causal training
+    mask (dynamic-chunk semantics) is applied by encoder.forward's default."""
+    enc = encoder_mod.forward(trainable["encoder_user"], cfg.encoder, fbank)
+    logits = linear(trainable["ctc_head"], enc.astype(jnp.float32))
+    blank = logits.shape[-1] - 1
+    t_enc = ((fbank_lens - 1) // 2 - 1) // 2  # Conv2dSubsampling4 arithmetic
+    T = enc.shape[1]
+    logit_pad = (jnp.arange(T)[None, :] >= t_enc[:, None]).astype(jnp.float32)
+    label_pad = (jnp.arange(tokens.shape[1])[None, :]
+                 >= token_lens[:, None]).astype(jnp.float32)
+    per_utt = optax.ctc_loss(logits, logit_pad, tokens, label_pad,
+                             blank_id=blank)
+    return jnp.mean(per_utt / jnp.maximum(token_lens.astype(jnp.float32), 1.0))
+
+
+def asr_align_loss(trainable, frozen, cfg: AudioLLMConfig,
+                   fbank: jnp.ndarray, text_ids: jnp.ndarray,
+                   text_mask: jnp.ndarray) -> jnp.ndarray:
+    """Input-side stages 2/3: text CE through the frozen LLM.
+
+    The causal sequence is [prompt_embeddings?; audio embeds; transcript
+    embeds]; cross-entropy is taken on the transcript positions (each token
+    predicted from the previous position, the first from the last audio
+    position). Module selection is by dict membership: a module key present in
+    `trainable` trains, otherwise its `frozen` copy is used — stage 2 passes
+    trainable={'adapter_user'[, 'encoder_user']}, stage 3 passes
+    trainable={'prompt_embeddings'} (audioLLM.py:169-195 tables).
+
+    Audio rows are taken full-valid: manifests pad utterances with silence
+    (real audio for an ASR objective), so no audio validity mask is threaded.
+    text_mask [B, Tt] masks transcript padding."""
+    def pick(name):
+        return trainable[name] if name in trainable else frozen[name]
+
+    enc = encoder_mod.forward(pick("encoder_user"), cfg.encoder, fbank)
+    audio = adapter_mod.forward(pick("adapter_user"), cfg.adapter, enc)
+    B, Ta, D = audio.shape
+    parts = [audio]
+    if "prompt_embeddings" in trainable or "prompt_embeddings" in frozen:
+        pe = pick("prompt_embeddings")  # [P, D]
+        parts.insert(0, jnp.broadcast_to(
+            pe[None], (B,) + pe.shape).astype(audio.dtype))
+    text_emb = qwen2.embed_tokens(frozen["llm"], text_ids).astype(audio.dtype)
+    seq = jnp.concatenate(parts + [text_emb], axis=1)
+    S = seq.shape[1]
+    cache = qwen2.init_cache(cfg.llm, B, max_len=S + 1, dtype=seq.dtype)
+    hidden, _ = qwen2.forward(frozen["llm"], cfg.llm, seq,
+                              jnp.ones((B, S), bool), cache)
+    Tt = text_ids.shape[1]
+    pred = hidden[:, S - Tt - 1: S - 1].astype(jnp.float32)
+    logits = qwen2.logits(frozen["llm"], cfg.llm, pred)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, text_ids[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * text_mask) / jnp.maximum(jnp.sum(text_mask), 1)
 
 
 def audio_llm_loss(trainable, frozen, cfg: AudioLLMConfig,
@@ -163,6 +243,49 @@ def train_step(state: TrainState, frozen: dict, optimizer,
 
     loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
+    trainable = optax.apply_updates(state.trainable, updates)
+    return (TrainState(trainable, opt_state, state.step + 1),
+            {"loss": loss})
+
+
+STAGES = ("ctc", "align", "prompt", "state", "decoder", "all")
+
+
+def stage_loss(stage: str, trainable, frozen, cfg: AudioLLMConfig,
+               dcfg: Optional[SpeechDecoderConfig], batch: dict) -> jnp.ndarray:
+    """Dispatch one curriculum stage to its loss. 'align' and 'prompt' share
+    asr_align_loss (they differ only in which params sit in `trainable`);
+    'all' = the combined duplex step (state head + optional decoder CE)."""
+    if stage == "ctc":
+        return encoder_ctc_loss(trainable, cfg, batch["fbank"],
+                                batch["fbank_lens"], batch["tokens"],
+                                batch["token_lens"])
+    if stage in ("align", "prompt"):
+        return asr_align_loss(trainable, frozen, cfg, batch["fbank"],
+                              batch["text_ids"], batch["text_mask"])
+    if stage == "state":
+        return audio_llm_loss(trainable, frozen, cfg, batch["fbank"],
+                              batch["labels"], batch["label_mask"])
+    if stage == "decoder":
+        return speech_decoder_loss(
+            trainable["speech_decoder"], dcfg, batch["dec_hidden"],
+            batch["dec_hidden_lens"], batch["dec_y"],
+            batch["dec_y_lens"]) / batch["dec_y"].shape[0]
+    raise ValueError(f"unknown stage {stage!r} (expected one of {STAGES})")
+
+
+def stage_step(stage: str, state: TrainState, frozen: dict, optimizer,
+               cfg: AudioLLMConfig, dcfg: Optional[SpeechDecoderConfig],
+               batch: dict) -> Tuple[TrainState, dict]:
+    """One optimizer step of a single curriculum stage ('all' uses
+    `train_step`, the combined duplex objective)."""
+    if stage == "all":
+        return train_step(state, frozen, optimizer, cfg, dcfg, batch)
+    loss, grads = jax.value_and_grad(
+        lambda t: stage_loss(stage, t, frozen, cfg, dcfg, batch)
+    )(state.trainable)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.trainable)
     trainable = optax.apply_updates(state.trainable, updates)
     return (TrainState(trainable, opt_state, state.step + 1),
             {"loss": loss})

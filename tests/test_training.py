@@ -67,3 +67,91 @@ class TestTraining:
         assert bs[0]["labels"].shape[0] == 3
         assert set(np.unique(bs[0]["labels"][:, -1])) <= {1, 2}
         assert bs[0]["dec_y"].shape == (3, 8)
+
+class TestCurriculumStages:
+    """The paper's stage-wise recipe: CTC encoder pretraining (input stage 1),
+    frozen-LLM ASR alignment (stage 2), prompt tuning (stage 3). Each stage
+    must actually learn its synthetic separable task, and only the declared
+    trainable subset may move."""
+
+    def test_ctc_stage_learns(self):
+        cfg, _ = _cfgs()
+        params = audio_llm.init_params(jax.random.PRNGKey(0), cfg)
+        trainable = {
+            "encoder_user": params["encoder_user"],
+            "ctc_head": ts.init_ctc_head(jax.random.PRNGKey(2), cfg, vocab=16),
+        }
+        opt = ts.make_optimizer(lr=3e-3)
+        state = ts.init_train_state(trainable, opt)
+        batch = {k: jnp.asarray(v)
+                 for k, v in data_mod.synth_ctc_batch(0, cfg, 2).items()}
+        step = jax.jit(
+            lambda s, b: ts.stage_step("ctc", s, {}, opt, cfg, None, b))
+        losses = []
+        for _ in range(12):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.6, losses
+
+    @pytest.mark.slow
+    def test_align_stage_learns_and_freezes_llm(self):
+        cfg, _ = _cfgs()
+        params = audio_llm.init_params(jax.random.PRNGKey(0), cfg)
+        trainable = {"encoder_user": params["encoder_user"],
+                     "adapter_user": params["adapter_user"]}
+        frozen = {"llm": params["llm"]}
+        opt = ts.make_optimizer(lr=3e-3)
+        state = ts.init_train_state(trainable, opt)
+        batch = {k: jnp.asarray(v)
+                 for k, v in data_mod.synth_asr_batch(0, cfg, 2).items()}
+        step = jax.jit(
+            lambda s, b: ts.stage_step("align", s, frozen, opt, cfg, None, b))
+        losses = []
+        for _ in range(15):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.7, losses
+        np.testing.assert_array_equal(
+            np.asarray(frozen["llm"]["layers"]["q"]["w"]),
+            np.asarray(params["llm"]["layers"]["q"]["w"]))
+
+    @pytest.mark.slow
+    def test_prompt_stage_trains_only_prompt_table(self):
+        import dataclasses
+        cfg, _ = _cfgs()
+        cfg = dataclasses.replace(cfg, prompt_finetune=True)
+        params = audio_llm.init_params(jax.random.PRNGKey(0), cfg)
+        before = {k: jax.tree.map(np.array, params[k])
+                  for k in ("encoder_user", "adapter_user")}
+        trainable = {"prompt_embeddings": params["prompt_embeddings"]}
+        frozen = {"llm": params["llm"],
+                  "encoder_user": params["encoder_user"],
+                  "adapter_user": params["adapter_user"]}
+        opt = ts.make_optimizer(lr=3e-3)
+        state = ts.init_train_state(trainable, opt)
+        batch = {k: jnp.asarray(v)
+                 for k, v in data_mod.synth_asr_batch(0, cfg, 2).items()}
+        step = jax.jit(
+            lambda s, b: ts.stage_step("prompt", s, frozen, opt, cfg, None, b))
+        losses = []
+        for _ in range(15):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.9, losses
+        # prompt table moved; everything else untouched
+        assert not np.allclose(np.asarray(state.trainable["prompt_embeddings"]),
+                               np.asarray(params["prompt_embeddings"]))
+        for k, tree in before.items():
+            jax.tree.map(
+                lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+                tree, frozen[k])
+
+    def test_stage_batches_shapes(self):
+        cfg, dcfg = _cfgs()
+        b = next(iter(data_mod.stage_batches("ctc", cfg, dcfg, 2, 1)))
+        assert b["fbank"].shape[0] == 2 and b["tokens"].max() < 16
+        b = next(iter(data_mod.stage_batches("align", cfg, dcfg, 2, 1)))
+        assert b["text_ids"].shape == b["text_mask"].shape
+        with pytest.raises(ValueError):
+            next(iter(data_mod.stage_batches("nope", cfg, dcfg, 2, 1)))
