@@ -14,9 +14,15 @@ Stages (--stage):
   all      combined duplex step (state [+ decoder]) — default
 (Output-side stage 1, codec GAN training, is training/codec_gan.py.)
 
+Data: synthetic separable fixtures by default (training/data.py); pass
+--manifest wav<TAB>transcript TSV (the bin/asr_eval.py format) to train the
+ASR stages (ctc/align/prompt) on real audio via training/manifest.py
+(length-bucketed static shapes + background prefetch).
+
 Usage:
   python -m freeze_omni_tpu.bin.train --preset tiny --stage align --steps 20 \
-      --ckpt_dir /tmp/ckpt [--resume] [--batch 4] [--lr 1e-4]
+      --ckpt_dir /tmp/ckpt [--resume] [--batch 4] [--lr 1e-4] \
+      [--manifest train.tsv --epochs 2 --tokenizer /path/to/hf_tokenizer]
 """
 
 from __future__ import annotations
@@ -37,7 +43,14 @@ def get_args(argv=None):
     p.add_argument("--stage", default="all",
                    choices=["ctc", "align", "prompt", "state", "decoder",
                             "all"])
-    p.add_argument("--ctc_vocab", type=int, default=16)
+    p.add_argument("--ctc_vocab", type=int, default=None,
+                   help="CTC label-space size (default: 16 for synthetic "
+                        "data; max manifest token id + 1 with --manifest)")
+    p.add_argument("--manifest", default=None,
+                   help="wav<TAB>transcript TSV for the ASR stages")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer dir (default: ByteTokenizer)")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -63,6 +76,23 @@ def main(argv=None):
 
     sys_cfg = tiny_system() if args.preset == "tiny" else flagship_system()
     cfg, dcfg = sys_cfg.audio_llm, sys_cfg.tts.decoder
+
+    tokenizer = None
+    if args.manifest:
+        from ..training import manifest as mani_mod
+        from ..utils.tokenizer import ByteTokenizer, HFTokenizer
+
+        if args.stage not in mani_mod.ASR_STAGES:
+            raise SystemExit(f"--manifest covers stages "
+                             f"{mani_mod.ASR_STAGES}, not {args.stage!r}")
+        tokenizer = (HFTokenizer(args.tokenizer) if args.tokenizer
+                     else ByteTokenizer(cfg.llm.vocab_size))
+        if args.ctc_vocab is None and args.stage == "ctc":
+            args.ctc_vocab = 1 + max(
+                max(tokenizer.encode(t), default=0)
+                for _, t in mani_mod.read_manifest(args.manifest))
+    if args.ctc_vocab is None:
+        args.ctc_vocab = 16
 
     if args.stage == "prompt":
         import dataclasses
@@ -128,7 +158,11 @@ def main(argv=None):
         lambda s, b: ts.stage_step(args.stage, s, frozen, optimizer, cfg,
                                    dcfg, b))
 
-    if args.stage == "all":
+    if args.manifest:
+        batch_iter = mani_mod.prefetch(mani_mod.manifest_batches(
+            args.stage, args.manifest, tokenizer, cfg, args.batch,
+            epochs=args.epochs, seed=args.seed + start_step))
+    elif args.stage == "all":
         batch_iter = data_mod.batches(cfg, dcfg, args.batch, args.steps,
                                       seed=args.seed + start_step,
                                       with_decoder=args.with_decoder)
@@ -139,6 +173,8 @@ def main(argv=None):
     losses = []
     t0 = time.time()
     for i, batch in enumerate(batch_iter):
+        if i >= args.steps:
+            break
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
         loss = float(np.asarray(metrics["loss"]))
@@ -154,7 +190,7 @@ def main(argv=None):
                 json.dump({"step": step, "loss": loss}, f)
             print(f"saved checkpoint at step {step}", flush=True)
 
-    print(json.dumps({"final_step": start_step + args.steps,
+    print(json.dumps({"final_step": start_step + len(losses),
                       "first_loss": round(losses[0], 4),
                       "final_loss": round(losses[-1], 4)}))
 
