@@ -137,6 +137,25 @@ def main(argv=None):
         }
         frozen = {"llm": params["llm"]}
 
+    # Data parallelism: with >1 device and a divisible batch, lay the batch
+    # over a 1-D 'data' mesh and replicate params/optimizer state. (TP for
+    # the frozen LLM is the serving path; training trees here are small.)
+    n_dev = len(jax.devices())
+    dp_sharding = None
+    if n_dev > 1 and args.batch % n_dev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh((n_dev,), ("data",))
+        repl = NamedSharding(mesh, PartitionSpec())
+        dp_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        trainable = jax.tree.map(lambda x: jax.device_put(x, repl), trainable)
+        frozen = jax.tree.map(lambda x: jax.device_put(x, repl), frozen)
+        print(f"data-parallel over {n_dev} devices", flush=True)
+    elif n_dev > 1:
+        print(f"{n_dev} devices but batch {args.batch} not divisible; "
+              f"running single-device", flush=True)
+
     optimizer = ts.make_optimizer(lr=args.lr)
     state = ts.init_train_state(trainable, optimizer)
     start_step = 0
@@ -149,8 +168,11 @@ def main(argv=None):
         meta = json.loads(
             open(os.path.join(args.ckpt_dir, "meta.json")).read())
         start_step = meta["step"]
-        state = ts.init_train_state(
-            jax.tree.map(jnp.asarray, restored), optimizer)
+        restored = jax.tree.map(jnp.asarray, restored)
+        if dp_sharding is not None:
+            restored = jax.tree.map(
+                lambda x: jax.device_put(x, repl), restored)
+        state = ts.init_train_state(restored, optimizer)
         state = state._replace(step=jnp.asarray(start_step, jnp.int32))
         print(f"resumed from step {start_step}", flush=True)
 
@@ -175,7 +197,11 @@ def main(argv=None):
     for i, batch in enumerate(batch_iter):
         if i >= args.steps:
             break
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if dp_sharding is not None:
+            batch = {k: jax.device_put(np.asarray(v), dp_sharding)
+                     for k, v in batch.items()}
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
         loss = float(np.asarray(metrics["loss"]))
         losses.append(loss)

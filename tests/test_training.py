@@ -59,6 +59,25 @@ class TestTraining:
             np.asarray(frozen["llm"]["layers"]["q"]["w"]),
             np.asarray(params["llm"]["layers"]["q"]["w"]))
 
+    @pytest.mark.slow
+    def test_dp_train_cli_and_resume(self, tmp_path):
+        """The train CLI lays the batch data-parallel over all devices
+        (conftest forces 8 virtual CPU devices) and the resume path re-places
+        restored params on the replicated sharding before re-jitting."""
+        from freeze_omni_tpu.bin.train import main
+
+        ckpt = str(tmp_path / "ckpt")
+        main(["--preset", "tiny", "--stage", "all", "--steps", "4",
+              "--batch", "8", "--ckpt_dir", ckpt, "--save_every", "2",
+              "--lr", "3e-3"])
+        main(["--preset", "tiny", "--stage", "all", "--steps", "2",
+              "--batch", "8", "--ckpt_dir", ckpt, "--save_every", "2",
+              "--resume"])
+        import json
+        import os
+        meta = json.loads(open(os.path.join(ckpt, "meta.json")).read())
+        assert meta["step"] == 6
+
     def test_batch_shapes(self):
         cfg, dcfg = _cfgs()
         bs = list(data_mod.batches(cfg, dcfg, batch=3, steps=2))
