@@ -45,6 +45,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    if not hasattr(lib, "resample_create"):
+        # stale library from before the resampler was added: rebuild once
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        if not hasattr(lib, "resample_create"):
+            return None
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.fbank_create.restype = ctypes.c_void_p
     lib.fbank_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_double,
@@ -64,6 +74,24 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.chunker_frames_per_step.argtypes = [ctypes.c_void_p]
     lib.chunker_reset.argtypes = [ctypes.c_void_p]
     lib.chunker_process.argtypes = [ctypes.c_void_p, f32p, f32p]
+    lib.resample_create.restype = ctypes.c_void_p
+    lib.resample_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_double]
+    lib.resample_destroy.argtypes = [ctypes.c_void_p]
+    lib.resample_reset.argtypes = [ctypes.c_void_p]
+    lib.resample_out_len.restype = ctypes.c_longlong
+    lib.resample_out_len.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+    lib.resample_push_cap.restype = ctypes.c_longlong
+    lib.resample_push_cap.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+    lib.resample_push.restype = ctypes.c_longlong
+    lib.resample_push.argtypes = [ctypes.c_void_p, f32p, ctypes.c_longlong,
+                                  f32p]
+    lib.resample_flush_cap.restype = ctypes.c_longlong
+    lib.resample_flush_cap.argtypes = [ctypes.c_void_p]
+    lib.resample_flush.restype = ctypes.c_longlong
+    lib.resample_flush.argtypes = [ctypes.c_void_p, f32p]
+    lib.resample_compute.argtypes = [ctypes.c_void_p, f32p, ctypes.c_longlong,
+                                     f32p]
     _lib = lib
     return lib
 
@@ -137,3 +165,53 @@ class NativeChunker:
         out = np.empty((self.frames, self.num_bins), np.float32)
         self._lib.chunker_process(self._h, _ptr(audio), _ptr(out))
         return out[None]
+
+
+class NativeResampler:
+    """Streaming polyphase resampler (native/frontend/resample.cc).
+
+    Same filter design as frontend/wav.py::resample (torchaudio
+    sinc_interp_hann, the reference's bin/inference.py:110). `push` emits every
+    output sample whose kernel support is complete; `flush` zero-pads the tail
+    and truncates to the exact one-shot length, so push*+flush concatenates to
+    exactly `wav.resample(full_signal)`."""
+
+    def __init__(self, orig_sr: int, new_sr: int,
+                 lowpass_filter_width: int = 6, rolloff: float = 0.99):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native frontend unavailable (g++ build failed)")
+        self._lib = lib
+        self._h = lib.resample_create(orig_sr, new_sr, lowpass_filter_width,
+                                      rolloff)
+        if not self._h:
+            raise ValueError(f"bad rates {orig_sr}->{new_sr}")
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.resample_destroy(self._h)
+            self._h = None
+
+    def reset(self) -> None:
+        self._lib.resample_reset(self._h)
+
+    def push(self, audio: np.ndarray) -> np.ndarray:
+        audio = np.ascontiguousarray(audio, np.float32)
+        n = audio.shape[0]
+        out = np.empty(self._lib.resample_push_cap(self._h, n), np.float32)
+        wrote = self._lib.resample_push(self._h, _ptr(audio), n, _ptr(out))
+        return out[:wrote]
+
+    def flush(self) -> np.ndarray:
+        out = np.empty(max(1, self._lib.resample_flush_cap(self._h)),
+                       np.float32)
+        wrote = self._lib.resample_flush(self._h, _ptr(out))
+        return out[:wrote]
+
+    def __call__(self, audio: np.ndarray) -> np.ndarray:
+        """One-shot: resample the whole signal on a fresh state."""
+        audio = np.ascontiguousarray(audio, np.float32)
+        n = audio.shape[0]
+        out = np.empty(self._lib.resample_out_len(self._h, n), np.float32)
+        self._lib.resample_compute(self._h, _ptr(audio), n, _ptr(out))
+        return out

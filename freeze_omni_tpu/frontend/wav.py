@@ -55,14 +55,36 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
         w.writeframes(pcm.tobytes())
 
 
+_native_resamplers: dict = {}
+_native_lock = None  # created lazily; one-shot native calls reset shared state
+
+
 def resample(x: np.ndarray, orig_sr: int, new_sr: int,
              lowpass_filter_width: int = 6, rolloff: float = 0.99) -> np.ndarray:
     """Polyphase windowed-sinc resampler (host-side; the hot path stays on TPU).
 
     x: [n] float. Equivalent in design to torchaudio's Resample with the
-    sinc_interp_hann kernel."""
+    sinc_interp_hann kernel. Dispatches to the native C++ implementation
+    (native/frontend/resample.cc, bit-exact vs the numpy path below,
+    tests/test_native.py) when the library is built; numpy is the fallback."""
     if orig_sr == new_sr:
         return x
+    try:
+        from .native import NativeResampler, available
+        if available():
+            global _native_lock
+            if _native_lock is None:
+                import threading
+                _native_lock = threading.Lock()
+            key = (orig_sr, new_sr, lowpass_filter_width, rolloff)
+            with _native_lock:
+                rs = _native_resamplers.get(key)
+                if rs is None:
+                    rs = _native_resamplers[key] = NativeResampler(
+                        orig_sr, new_sr, lowpass_filter_width, rolloff)
+                return rs(np.asarray(x, np.float32))
+    except Exception:
+        pass
     gcd = math.gcd(orig_sr, new_sr)
     up, down = new_sr // gcd, orig_sr // gcd
 

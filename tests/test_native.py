@@ -4,6 +4,7 @@ import pytest
 from freeze_omni_tpu.config import FbankConfig, GatingConfig
 from freeze_omni_tpu.frontend import native
 from freeze_omni_tpu.frontend.chunker import GatingChunker, OfflineChunker
+from freeze_omni_tpu.frontend import wav
 from freeze_omni_tpu.frontend.fbank import fbank_ref
 
 pytestmark = pytest.mark.skipif(not native.available(),
@@ -66,3 +67,47 @@ class TestNativeChunker:
         nc = native.NativeChunker()
         with pytest.raises(AssertionError, match="expected 2560"):
             nc.process(np.zeros(100, np.float32))
+
+
+class TestNativeResampler:
+    """native/frontend/resample.cc vs frontend/wav.py::resample (same filter
+    design as the reference's torchaudio Resample, bin/inference.py:110)."""
+
+    RATES = [(48000, 16000), (44100, 16000), (22050, 16000), (8000, 16000),
+             (16000, 24000), (24000, 16000)]
+
+    def test_one_shot_matches_python(self):
+        rng = np.random.RandomState(3)
+        for orig, new in self.RATES:
+            x = (rng.randn(orig // 2 + 37) * 0.3).astype(np.float32)
+            ref = wav.resample(x, orig, new)
+            got = native.NativeResampler(orig, new)(x)
+            assert got.shape == ref.shape, (orig, new)
+            np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_streaming_concatenates_to_one_shot(self):
+        """push* + flush over irregular chunk sizes emits exactly the
+        one-shot output (incl. down > kernel-length rates like 44.1k->16k)."""
+        rng = np.random.RandomState(4)
+        for orig, new in self.RATES:
+            x = (rng.randn(orig // 2 + 11) * 0.3).astype(np.float32)
+            ref = wav.resample(x, orig, new)
+            rs = native.NativeResampler(orig, new)
+            parts, i = [], 0
+            for sz in [160, 333, 1024, 7, 2560] * 200:
+                if i >= len(x):
+                    break
+                parts.append(rs.push(x[i:i + sz]))
+                i += sz
+            parts.append(rs.flush())
+            got = np.concatenate(parts)
+            assert got.shape == ref.shape, (orig, new)
+            np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_reset_reuses_state(self):
+        rs = native.NativeResampler(48000, 16000)
+        x = np.sin(np.arange(4800, dtype=np.float32) * 0.01)
+        a = rs(x)
+        rs.reset()
+        b = np.concatenate([rs.push(x), rs.flush()])
+        np.testing.assert_allclose(a, b)
