@@ -173,6 +173,18 @@ def main(argv=None):
             restored = jax.tree.map(
                 lambda x: jax.device_put(x, repl), restored)
         state = ts.init_train_state(restored, optimizer)
+        opt_dir = os.path.join(args.ckpt_dir, "opt")
+        if os.path.exists(opt_dir):
+            opt_like = jax.tree.map(np.zeros_like, state.opt_state)
+            opt_restored = jax.tree.map(
+                jnp.asarray, ckpt_mod.load_native(opt_dir, opt_like))
+            if dp_sharding is not None:
+                opt_restored = jax.tree.map(
+                    lambda x: jax.device_put(x, repl), opt_restored)
+            state = state._replace(opt_state=opt_restored)
+        else:
+            print("no optimizer state in checkpoint; adamw moments reset",
+                  flush=True)
         state = state._replace(step=jnp.asarray(start_step, jnp.int32))
         print(f"resumed from step {start_step}", flush=True)
 
@@ -212,6 +224,10 @@ def main(argv=None):
         if args.ckpt_dir and step % args.save_every == 0:
             ckpt_mod.save_native(os.path.join(args.ckpt_dir, "latest"),
                                  jax.device_get(state.trainable))
+            # optimizer moments in a sibling tree so `latest` stays a pure
+            # params checkpoint (loadable as weights without optax)
+            ckpt_mod.save_native(os.path.join(args.ckpt_dir, "opt"),
+                                 jax.device_get(state.opt_state))
             with open(os.path.join(args.ckpt_dir, "meta.json"), "w") as f:
                 json.dump({"step": step, "loss": loss}, f)
             print(f"saved checkpoint at step {step}", flush=True)

@@ -77,6 +77,8 @@ class TestTraining:
         import os
         meta = json.loads(open(os.path.join(ckpt, "meta.json")).read())
         assert meta["step"] == 6
+        # true resume: optimizer moments are checkpointed alongside params
+        assert os.path.exists(os.path.join(ckpt, "opt"))
 
     def test_batch_shapes(self):
         cfg, dcfg = _cfgs()
