@@ -10,7 +10,8 @@ Protocol (JSON messages):
   client -> server:
     {"type": "start_session", "sid": str, "role": str?}
     {"type": "audio", "identity": "user"|"system", "pcm_b64": <s16le b64>,
-     "sr": 16000, "time_stamp": float?}
+     "sr": int (any rate; non-16k streams through a per-identity native
+     resampler), "time_stamp": float?}
     {"type": "reset"} | {"type": "stop"}
   server -> client:
     {"event": "session_ready", "sid": ...}

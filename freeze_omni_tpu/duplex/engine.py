@@ -59,6 +59,7 @@ class DuplexSession:
         vad_cfg = dataclasses.replace(vad_cfg, chunk_size=samples)
 
         self.pcm: Dict[str, PCMQueue] = {i: PCMQueue() for i in IDENTITIES}
+        self._resamplers: Dict[str, object] = {}  # lazy, per client rate
         self.vad = {i: make_vad(vad_cfg, identity=i) for i in IDENTITIES}
         self.gating = {i: GatingChunker(gating_cfg) for i in IDENTITIES}
         self.serializer = ContextSerializer()
@@ -135,16 +136,28 @@ class DuplexSession:
     def enqueue_audio_data(self, identity: str, data: dict) -> None:
         """data: {'audio': bytes (s16le) | float array, 'sr': int,
         'enc': 's16le'|'f32', 'time_stamp': float} — the contract of
-        DialogStateParams.enqueue_audio_data (dialog_state_pred.py:330-400)."""
+        DialogStateParams.enqueue_audio_data (dialog_state_pred.py:330-400).
+
+        Unlike the reference (which rejects non-16k input,
+        dialog_state_pred.py:348-400), arbitrary client rates are accepted:
+        chunks stream through a per-identity StreamingResampler to the VAD
+        rate with no per-message boundary artifacts."""
         assert identity in IDENTITIES, identity
-        sr = data.get("sr", self.cfg.duplex.vad.sample_rate)
-        if sr != self.cfg.duplex.vad.sample_rate:
-            raise ValueError(f"expected {self.cfg.duplex.vad.sample_rate} Hz, got {sr}")
+        want = self.cfg.duplex.vad.sample_rate
+        sr = data.get("sr", want)
         audio = data["audio"]
         if isinstance(audio, (bytes, bytearray)):
-            self.pcm[identity].push_s16le(bytes(audio))
+            audio = np.frombuffer(bytes(audio), "<i2").astype(np.float32) \
+                / 32768.0
         else:
-            self.pcm[identity].push(np.asarray(audio, np.float32))
+            audio = np.asarray(audio, np.float32)
+        if sr != want:
+            rs = self._resamplers.get(identity)
+            if rs is None or rs.orig_sr != sr:
+                from ..frontend.wav import StreamingResampler
+                rs = self._resamplers[identity] = StreamingResampler(sr, want)
+            audio = rs.push(audio)
+        self.pcm[identity].push(audio)
         if identity == "user":
             self.sink.emit("audio_rebroadcast",
                            {"identity": identity,

@@ -43,6 +43,7 @@ class _SessionFrontend:
         vad_cfg = dataclasses.replace(cfg.duplex.vad,
                                       chunk_size=gating_cfg.samples_per_chunk)
         self.pcm = {i: PCMQueue() for i in IDENTITIES}
+        self.resamplers: Dict[str, object] = {}  # lazy, per client rate
         self.vad = {i: make_vad(vad_cfg, identity=i) for i in IDENTITIES}
         self.gating = {i: GatingChunker(gating_cfg) for i in IDENTITIES}
         self.serializer = ContextSerializer()
@@ -108,11 +109,23 @@ class DuplexService:
 
     def enqueue_audio_data(self, sid: str, identity: str, data: dict) -> None:
         fe = self.sessions[sid]
+        want = self.cfg.duplex.vad.sample_rate
+        sr = data.get("sr", want)
         audio = data["audio"]
         if isinstance(audio, (bytes, bytearray)):
-            fe.pcm[identity].push_s16le(bytes(audio))
+            audio = np.frombuffer(bytes(audio), "<i2").astype(np.float32) \
+                / 32768.0
         else:
-            fe.pcm[identity].push(np.asarray(audio, np.float32))
+            audio = np.asarray(audio, np.float32)
+        if sr != want:
+            # arbitrary client rates stream through a per-identity resampler
+            # (native C++ when built) with no per-message boundary artifacts
+            rs = fe.resamplers.get(identity)
+            if rs is None or rs.orig_sr != sr:
+                from ..frontend.wav import StreamingResampler
+                rs = fe.resamplers[identity] = StreamingResampler(sr, want)
+            audio = rs.push(audio)
+        fe.pcm[identity].push(audio)
 
     # ------------------------------------------------------------------
 

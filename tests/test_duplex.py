@@ -151,6 +151,43 @@ class TestDuplexSession:
         sess.reset_context()
         assert sess.past_key_values is sess.system_role_kv
 
+    def test_48k_client_audio_resampled_at_ingest(self):
+        """A 48 kHz client stream (s16le bytes) rides a per-identity
+        streaming resampler to the VAD rate: the IPU lifecycle fires exactly
+        as for native-16k audio (the reference rejects non-16k input,
+        dialog_state_pred.py:348-400)."""
+        from freeze_omni_tpu.frontend.wav import resample
+
+        cfg = tiny_system()
+        pipeline = DuplexPipeline(cfg, seed=0)
+        sink = EventSink()
+        sess = DuplexSession(pipeline, cfg, sink=sink)
+
+        n = cfg.duplex.gating.samples_per_chunk
+        rng = np.random.RandomState(0)
+        quiet = (0.0005 * rng.randn(3 * n)).astype(np.float32)
+        from freeze_omni_tpu.training.vad import synth_speech
+        loud = 0.5 * synth_speech(np.random.RandomState(7), 3 * n)
+
+        def to_48k_bytes(x):
+            y = resample(x, 16000, 48000)
+            return (np.clip(y, -1, 1) * 32767).astype("<i2").tobytes()
+
+        sess.enqueue_audio_data(
+            "user", {"audio": to_48k_bytes(quiet), "sr": 48000,
+                     "enc": "s16le"})
+        sess.pump()
+        sess.enqueue_audio_data(
+            "user", {"audio": to_48k_bytes(loud), "sr": 48000,
+                     "enc": "s16le"})
+        sess.enqueue_audio_data(
+            "user", {"audio": to_48k_bytes(quiet * 0), "sr": 48000,
+                     "enc": "s16le"})
+        while sess.pump():
+            pass
+        statuses = [e["status"] for e in sink.events_of("vad_event")]
+        assert "ipu_sl" in statuses and "ipu_el" in statuses
+
     def test_responder_closes_the_loop(self):
         """With a responder attached and threshold 0, a user chunk triggers
         text + synthesized speech that re-enters as system audio."""
