@@ -59,6 +59,13 @@ def get_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--with_decoder", action="store_true", default=True)
+    # multi-host (DCN): run one trainer process per host; gradients psum
+    # across hosts once per step (parallel/multihost.py)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 — enables multi-host "
+                        "(env: FO_COORDINATOR/FO_NUM_HOSTS/FO_HOST_ID)")
+    p.add_argument("--num_hosts", type=int, default=1)
+    p.add_argument("--host_id", type=int, default=0)
     return p.parse_args(argv)
 
 
@@ -67,6 +74,10 @@ def main(argv=None):
 
     enable_compile_cache()
     args = get_args(argv)
+    from ..parallel import multihost as mh
+
+    multi = mh.maybe_initialize_from_args(args.coordinator, args.num_hosts,
+                                          args.host_id)
     from ..config import flagship_system, tiny_system
     from ..models import audio_llm
     from ..models import speech_decoder as sd
@@ -140,17 +151,41 @@ def main(argv=None):
     # Data parallelism: with >1 device and a divisible batch, lay the batch
     # over a 1-D 'data' mesh and replicate params/optimizer state. (TP for
     # the frozen LLM is the serving path; training trees here are small.)
+    # Multi-host: the 'data' axis spans every device of every host (hosts
+    # outermost); each process feeds only its own batch rows and the gradient
+    # psum crosses DCN once per step.
     n_dev = len(jax.devices())
-    dp_sharding = None
-    if n_dev > 1 and args.batch % n_dev == 0:
+    put_batch = None  # host batch dict -> device arrays on the 'data' mesh
+    put_repl = None  # host pytree -> replicated device arrays
+    if multi:
+        if args.batch % n_dev != 0:
+            raise SystemExit(f"multi-host requires --batch divisible by the "
+                             f"global device count {n_dev}, got {args.batch}")
+        from jax.sharding import PartitionSpec
+
+        num_hosts, host_id = jax.process_count(), jax.process_index()
+        mesh = mh.make_global_mesh(("data",))
+        put_repl = lambda tree: mh.replicate_global(mesh, tree)
+        put_batch = lambda b: {
+            k: mh.host_local_to_global(mesh, PartitionSpec("data"), v)
+            for k, v in mh.local_batch_slice(b, num_hosts, host_id).items()}
+        trainable = put_repl(trainable)
+        frozen = put_repl(frozen)
+        print(f"multi-host data-parallel: {num_hosts} hosts x "
+              f"{n_dev // num_hosts} devices", flush=True)
+    elif n_dev > 1 and args.batch % n_dev == 0:
         from jax.sharding import NamedSharding, PartitionSpec
         from ..parallel import mesh as pmesh
 
         mesh = pmesh.make_mesh((n_dev,), ("data",))
         repl = NamedSharding(mesh, PartitionSpec())
         dp_sharding = NamedSharding(mesh, PartitionSpec("data"))
-        trainable = jax.tree.map(lambda x: jax.device_put(x, repl), trainable)
-        frozen = jax.tree.map(lambda x: jax.device_put(x, repl), frozen)
+        put_repl = lambda tree: jax.tree.map(
+            lambda x: jax.device_put(x, repl), tree)
+        put_batch = lambda b: {k: jax.device_put(np.asarray(v), dp_sharding)
+                               for k, v in b.items()}
+        trainable = put_repl(trainable)
+        frozen = put_repl(frozen)
         print(f"data-parallel over {n_dev} devices", flush=True)
     elif n_dev > 1:
         print(f"{n_dev} devices but batch {args.batch} not divisible; "
@@ -169,18 +204,16 @@ def main(argv=None):
             open(os.path.join(args.ckpt_dir, "meta.json")).read())
         start_step = meta["step"]
         restored = jax.tree.map(jnp.asarray, restored)
-        if dp_sharding is not None:
-            restored = jax.tree.map(
-                lambda x: jax.device_put(x, repl), restored)
+        if put_repl is not None:
+            restored = put_repl(restored)
         state = ts.init_train_state(restored, optimizer)
         opt_dir = os.path.join(args.ckpt_dir, "opt")
         if os.path.exists(opt_dir):
             opt_like = jax.tree.map(np.zeros_like, state.opt_state)
             opt_restored = jax.tree.map(
                 jnp.asarray, ckpt_mod.load_native(opt_dir, opt_like))
-            if dp_sharding is not None:
-                opt_restored = jax.tree.map(
-                    lambda x: jax.device_put(x, repl), opt_restored)
+            if put_repl is not None:
+                opt_restored = put_repl(opt_restored)
             state = state._replace(opt_state=opt_restored)
         else:
             print("no optimizer state in checkpoint; adamw moments reset",
@@ -209,18 +242,19 @@ def main(argv=None):
     for i, batch in enumerate(batch_iter):
         if i >= args.steps:
             break
-        if dp_sharding is not None:
-            batch = {k: jax.device_put(np.asarray(v), dp_sharding)
-                     for k, v in batch.items()}
+        if put_batch is not None:
+            batch = put_batch(batch)
         else:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
         loss = float(np.asarray(metrics["loss"]))
         losses.append(loss)
         step = start_step + i + 1
-        if step % 5 == 0 or i == 0:
+        if (step % 5 == 0 or i == 0) and (not multi or mh.is_primary()):
             print(f"step {step}: loss={loss:.4f} "
                   f"({(time.time()-t0)/(i+1):.2f}s/step)", flush=True)
+        if multi and not mh.is_primary():
+            continue  # only the primary host writes checkpoints
         if args.ckpt_dir and step % args.save_every == 0:
             ckpt_mod.save_native(os.path.join(args.ckpt_dir, "latest"),
                                  jax.device_get(state.trainable))
@@ -232,9 +266,20 @@ def main(argv=None):
                 json.dump({"step": step, "loss": loss}, f)
             print(f"saved checkpoint at step {step}", flush=True)
 
-    print(json.dumps({"final_step": start_step + len(losses),
-                      "first_loss": round(losses[0], 4),
-                      "final_loss": round(losses[-1], 4)}))
+    summary = {"final_step": start_step + len(losses),
+               "first_loss": round(losses[0], 4),
+               "final_loss": round(losses[-1], 4)}
+    if multi:
+        # every host prints; checksum is a cross-host divergence probe
+        # (replicated params => identical value on every host)
+        summary["host_id"] = jax.process_index()
+        summary["param_checksum"] = round(
+            mh.tree_checksum(jax.device_get(state.trainable)), 6)
+        print(json.dumps(summary), flush=True)
+        mh.sync("train-done")
+        mh.shutdown()
+    else:
+        print(json.dumps(summary))
 
 
 if __name__ == "__main__":
