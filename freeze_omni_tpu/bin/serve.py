@@ -73,18 +73,40 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--timeout", type=float, default=None,
                    help="stop serving after N seconds (for smoke tests)")
+    # multi-host (DCN) serving: one process per host, identical flags except
+    # --host_id. Host 0 owns the sockets; followers replay its device steps
+    # in lockstep (runtime/multihost_serving.py). KV session rows shard over
+    # hosts; --tp shards the LLM inside each host.
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 — enables multi-host "
+                        "(env: FO_COORDINATOR/FO_NUM_HOSTS/FO_HOST_ID)")
+    p.add_argument("--num_hosts", type=int, default=1)
+    p.add_argument("--host_id", type=int, default=0)
     return p.parse_args(argv)
 
 
 class Server:
-    def __init__(self, args):
+    def __init__(self, args, multi: bool = False):
         from ..config import flagship_system, tiny_system
         from ..pipeline import DuplexPipeline
 
         self.args = args
+        self.multi = multi
+        self.follower = None  # (engine, tts_params) on non-primary hosts
         if args.tp > 1 and not args.engine:
             raise SystemExit("--tp requires --engine (the per-session "
                              "pipeline path is single-device)")
+        if multi and not args.engine:
+            raise SystemExit("--coordinator requires --engine (multi-host "
+                             "serving is the batched engine path)")
+        if multi and args.respond:
+            raise SystemExit(
+                "--respond is single-host for now: the sentence-synthesis "
+                "continuation path re-embeds text through the (global) LLM "
+                "embedding outside the lockstep bundles — the engine-level "
+                "respond_fast_many/continue_segments lockstep path exists "
+                "and is tested, but the DuplexService wiring does not use "
+                "it exclusively yet")
         self._ckpt_params = None
         self._ckpt_tts = None
         self._tokenizer = None
@@ -163,7 +185,14 @@ class Server:
             if args.respond:
                 svc_tts = self._ckpt_tts or self._init_tts_params()
             mesh = None
-            if args.tp > 1:
+            if self.multi:
+                from ..parallel import multihost as mh
+
+                # data axis spans hosts (KV session rows shard over DCN),
+                # model stays inside each host (ICI)
+                mesh = mh.make_global_mesh(("data", "model"),
+                                           model_par=max(1, args.tp))
+            elif args.tp > 1:
                 import jax
 
                 from ..parallel.mesh import make_mesh
@@ -183,11 +212,28 @@ class Server:
             kv_dtype = (jnp.float32
                         if args.preset == "tiny" and not args.model_path
                         else jnp.bfloat16)
-            self.service = DuplexService(cfg, seed=args.seed,
-                                         tts_params=svc_tts,
-                                         params=self._ckpt_params,
-                                         tokenizer=self._tokenizer,
-                                         mesh=mesh, kv_dtype=kv_dtype)
+            if self.multi:
+                from ..parallel import multihost as mh
+                from ..runtime.engine import ServingEngine
+                from ..runtime.multihost_serving import PrimaryDriver
+
+                engine = ServingEngine(cfg, params=self._ckpt_params,
+                                       tokenizer=self._tokenizer,
+                                       seed=args.seed, kv_dtype=kv_dtype,
+                                       mesh=mesh)
+                if not mh.is_primary():
+                    self.follower = (engine, svc_tts)
+                    self.pipeline = None
+                    return
+                self.service = DuplexService(
+                    cfg, engine=PrimaryDriver(engine, svc_tts),
+                    seed=args.seed, tts_params=svc_tts)
+            else:
+                self.service = DuplexService(cfg, seed=args.seed,
+                                             tts_params=svc_tts,
+                                             params=self._ckpt_params,
+                                             tokenizer=self._tokenizer,
+                                             mesh=mesh, kv_dtype=kv_dtype)
             self.pipeline = None
             self._svc_stop = threading.Event()
 
@@ -212,7 +258,9 @@ class Server:
                     if not worked:
                         self._svc_stop.wait(0.01)
 
-            threading.Thread(target=ticker, daemon=True).start()
+            self._ticker_thread = threading.Thread(target=ticker,
+                                                    daemon=True)
+            self._ticker_thread.start()
         else:
             self.pipeline = DuplexPipeline(self.cfg, seed=args.seed,
                                            params=self._ckpt_params,
@@ -344,16 +392,33 @@ class Server:
     async def run(self):
         import websockets
 
+        if self.follower is not None:
+            from ..runtime.multihost_serving import run_follower
+
+            engine, tts = self.follower
+            print(f"follower host joined (host_id="
+                  f"{self.args.host_id}); replaying primary's steps",
+                  flush=True)
+            await asyncio.to_thread(run_follower, engine, tts)
+            return
         if self.args.http_port:
             self._start_http()
-        async with websockets.serve(self.handler, self.args.host,
-                                    self.args.port):
-            print(f"serving on ws://{self.args.host}:{self.args.port}",
-                  flush=True)
-            if self.args.timeout:
-                await asyncio.sleep(self.args.timeout)
-            else:
-                await asyncio.Future()
+        try:
+            async with websockets.serve(self.handler, self.args.host,
+                                        self.args.port):
+                print(f"serving on ws://{self.args.host}:{self.args.port}",
+                      flush=True)
+                if self.args.timeout:
+                    await asyncio.sleep(self.args.timeout)
+                else:
+                    await asyncio.Future()
+        finally:
+            if self.multi and self.service is not None:
+                # no tick may race the stop broadcast: followers exit on stop
+                # and a straggler collective would hang the primary
+                self._svc_stop.set()
+                self._ticker_thread.join(timeout=30)
+                self.service.engine.stop()  # releases the follower loops
 
 
 def _jsonable(payload: dict) -> dict:
@@ -379,7 +444,14 @@ def main(argv=None):
 
     enable_compile_cache()
     args = get_args(argv)
-    asyncio.run(Server(args).run())
+    from ..parallel import multihost as mh
+
+    multi = mh.maybe_initialize_from_args(args.coordinator, args.num_hosts,
+                                          args.host_id)
+    asyncio.run(Server(args, multi=multi).run())
+    if multi:
+        mh.sync("serve-done")
+        mh.shutdown()
 
 
 if __name__ == "__main__":

@@ -62,17 +62,17 @@ class ServingEngine:
         self.store = SessionStore(cfg.audio_llm, cfg.serving.max_sessions,
                                   kv_dtype)
         if mesh is not None:
+            self.store.shard(mesh)
+        # multi-host meshes: device_get of a 'data'-sharded result would fail
+        # (non-addressable rows live on other hosts) — replicate first, one
+        # cheap all_gather that crosses DCN once per fetch
+        self._repl_out = None
+        if mesh is not None and \
+                len({d.process_index for d in mesh.devices.flat}) > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.mesh import kv_cache_specs
-
-            kv_sharding = NamedSharding(mesh, kv_cache_specs())
-            repl = NamedSharding(mesh, P())
-            self.store.caches = self.store.caches._replace(
-                kv=qwen2.KVCache(
-                    k=jax.device_put(self.store.caches.kv.k, kv_sharding),
-                    v=jax.device_put(self.store.caches.kv.v, kv_sharding),
-                    length=jax.device_put(self.store.caches.kv.length, repl)))
+            self._repl_out = jax.jit(lambda t: t,
+                                     out_shardings=NamedSharding(mesh, P()))
         self._recognize = jax.jit(
             audio_llm.recognize_step, static_argnames=("cfg", "identity"))
         self._lock = threading.Lock()
@@ -229,10 +229,16 @@ class ServingEngine:
                     self._len_host).astype(np.int32)
         return results
 
+    def _fetch(self, tree):
+        """device_get that works on multi-host meshes (see _repl_out)."""
+        if self._repl_out is not None:
+            tree = self._repl_out(tree)
+        return jax.device_get(tree)
+
     def _deliver_user(self, results, pending, probs):
         """Sync user predictions (refreshing the KV-length mirror on the same
         transfer) and fire callbacks."""
-        probs, len_np = jax.device_get((probs, self.store.caches.kv.length))
+        probs, len_np = self._fetch((probs, self.store.caches.kv.length))
         self._len_host = np.asarray(len_np).copy()
         out = {}
         for slot in pending:
@@ -260,7 +266,7 @@ class ServingEngine:
         cap = self.store.caches.kv.k.shape[2]
         if self._len_host is None:  # first use: one authoritative fetch
             self._len_host = np.asarray(
-                jax.device_get(self.store.caches.kv.length)).copy()
+                self._fetch(self.store.caches.kv.length)).copy()
         lengths = self._len_host
         need = lengths > cap - margin
         if not need.any():
@@ -373,7 +379,7 @@ class ServingEngine:
         # session closed mid-dispatch — are not written back
         rows, kept_slots = self._still_current(pairs)
         self.store.scatter_kv_many(kept_slots, kv, rows=rows)
-        pcm_np, toks_np, nv, len_np = jax.device_get(
+        pcm_np, toks_np, nv, len_np = self._fetch(
             (pcm, toks, n_valid, kv.length))  # ONE sync
         if self._len_host is not None:
             for i, slot in zip(rows, kept_slots):
@@ -424,7 +430,7 @@ class ServingEngine:
                 self.cfg.sampling, n_steps=n_steps, eod_id=eod)
         rows, kept_slots = self._still_current(pairs)
         self.store.scatter_kv_many(kept_slots, kv, rows=rows)
-        toks_np, hid_np, done_np, len_np = jax.device_get(
+        toks_np, hid_np, done_np, len_np = self._fetch(
             (toks, hiddens, done, kv.length))
         if self._len_host is not None:
             for i, slot in zip(rows, kept_slots):

@@ -52,7 +52,12 @@ class SessionStore:
         self.max_sessions = max_sessions
         self.caches = audio_llm.init_session(cfg, max_sessions, kv_dtype)
         self._axes = session_batch_axes(self.caches)
-        self._row_template = audio_llm.init_session(cfg, 1, kv_dtype)
+        # numpy (uncommitted): a committed single-device template would be
+        # rejected when written into mesh-global caches under multi-host —
+        # uncommitted host values lift to replicated on whatever mesh the
+        # destination lives on
+        self._row_template = jax.tree.map(
+            np.asarray, audio_llm.init_session(cfg, 1, kv_dtype))
         self._free: List[int] = list(range(max_sessions))
         self._slots: Dict[str, int] = {}
         # pinned role-prefill length per slot (the sliding-KV "sink" prefix)
@@ -98,6 +103,25 @@ class SessionStore:
 
         row_sq = jax.tree.map(lambda l, a: squeeze(l, a), row, self._axes)
         self.caches = _set_row(row_sq, self.caches, slot, self._axes)
+
+    def shard(self, mesh) -> None:
+        """Place the whole cache tree on a ('data','model') mesh: session rows
+        shard over 'data' on every leaf's batch axis, LLM KV additionally
+        shards kv-heads over 'model' (parallel/mesh.kv_cache_specs); kv.length
+        stays replicated (host mirrors and roll checks read it whole). Works
+        for single-host multi-chip meshes and global multi-host meshes alike —
+        all later row updates are eager SPMD ops on the global tree."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import kv_cache_specs
+
+        specs = jax.tree.map(
+            lambda leaf, ax: P(*(None,) * ax, "data"), self.caches, self._axes)
+        specs = specs._replace(kv=qwen2.KVCache(
+            k=kv_cache_specs(), v=kv_cache_specs(), length=P()))
+        self.caches = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            self.caches, specs)
 
     def kv_length(self, slot: int) -> int:
         return int(np.asarray(self.caches.kv.length)[slot])

@@ -1,0 +1,88 @@
+"""Child process for tests/test_multihost.py::test_lockstep_serving.
+
+One process per 'host'. Host 0 drives a PrimaryDriver through opens, two
+ticks (dual-identity), a continuation segment, and a close; host 1 replays
+the same device steps via run_follower. Both print the user predictions they
+observed — the parent asserts they are identical and match a single-process
+engine run of the same chunk schedule.
+"""
+
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import dataclasses as dc  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+
+def tiny_serving_cfg():
+    from freeze_omni_tpu.config import tiny_system
+
+    cfg = tiny_system()
+    return dc.replace(
+        cfg,
+        audio_llm=dc.replace(
+            cfg.audio_llm,
+            llm=dc.replace(cfg.audio_llm.llm, num_kv_heads=2)),
+        serving=dc.replace(cfg.serving, max_sessions=4))
+
+
+def chunk(seed):
+    return np.random.RandomState(seed).randn(1, 32, 80).astype(np.float32)
+
+
+def drive(drv):
+    """The chunk schedule both the multi-host and the single-process runs
+    execute: 4 sessions, an sl tick, a dual-identity tick, a continuation."""
+    for i in range(4):
+        drv.open_session(f"s{i}")
+    for i in range(4):
+        drv.submit_chunk(f"s{i}", "user", chunk(i), True)
+    out1 = drv.tick()
+    for i in range(4):
+        drv.submit_chunk(f"s{i}", "user", chunk(10 + i), False)
+        drv.submit_chunk(f"s{i}", "system", chunk(20 + i), i == 0)
+    out2 = drv.tick()
+    cont = drv.continue_segments({f"s{i}": 5 for i in range(4)}, n_steps=4)
+    drv.close_session("s3")
+    return {
+        "tick1": {str(k): v for k, v in out1["user"].items()},
+        "tick2": {str(k): v for k, v in out2["user"].items()},
+        "cont_tokens": {s: t for s, (t, _, _) in cont.items()},
+    }
+
+
+def main():
+    coordinator, host_id = sys.argv[1], int(sys.argv[2])
+    from freeze_omni_tpu.parallel import multihost as mh
+
+    mh.initialize(coordinator, 2, host_id)
+    from freeze_omni_tpu.runtime import multihost_serving as ms
+    from freeze_omni_tpu.runtime.engine import ServingEngine
+
+    mesh = mh.make_global_mesh(("data", "model"), model_par=2)
+    engine = ServingEngine(tiny_serving_cfg(), seed=0, mesh=mesh)
+    if mh.is_primary():
+        drv = ms.PrimaryDriver(engine)
+        result = drive(drv)
+        drv.stop()
+    else:
+        # followers observe the same device results through the engine's
+        # callback-free path; replay and report the KV-length mirror as the
+        # divergence probe
+        ms.run_follower(engine)
+        result = {"len_host": [int(x) for x in engine._len_host]}
+    result["host_id"] = host_id
+    if mh.is_primary():
+        result["len_host"] = [int(x) for x in engine._len_host]
+    print("RESULT " + json.dumps(result), flush=True)
+    mh.sync("serving-done")
+    mh.shutdown()
+
+
+if __name__ == "__main__":
+    main()

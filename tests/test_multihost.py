@@ -102,3 +102,48 @@ def test_global_mesh_rejects_cross_host_tp():
     # from conftest); 16 cannot divide into one host
     with pytest.raises(ValueError, match="straddle"):
         mh.make_global_mesh(("data", "model"), model_par=16)
+
+
+def test_lockstep_serving_matches_single_process():
+    """Multi-host serving (runtime/multihost_serving.py): a 2-host x 2-device
+    global mesh serves the same chunk schedule as a single-process engine —
+    KV rows sharded over hosts, LLM TP inside each host, one broadcast per
+    step. Asserts the hosts' KV-length mirrors agree (lockstep never
+    diverged) and the primary's predictions match the single-process run."""
+    port = _free_port()
+    env = _child_env(2)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests",
+                                          "_multihost_serving_child.py"),
+             f"127.0.0.1:{port}", str(i)],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for i in range(2)
+    ]
+    results = {}
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"host {i} failed:\n{err[-4000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+        r = json.loads(line[len("RESULT "):])
+        results[r["host_id"]] = r
+
+    # lockstep: both hosts' host-side KV mirrors evolved identically
+    assert results[0]["len_host"] == results[1]["len_host"]
+
+    # ground truth: the same schedule on a plain single-process engine
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import _multihost_serving_child as child
+    from freeze_omni_tpu.runtime.engine import ServingEngine
+
+    single = child.drive(ServingEngine(child.tiny_serving_cfg(), seed=0))
+    for tick in ("tick1", "tick2"):
+        got, want = results[0][tick], single[tick]
+        assert set(got) == {str(k) for k in want}
+        for slot, pred in want.items():
+            for k in ("state_1", "state_2"):
+                np.testing.assert_allclose(got[str(slot)][k], pred[k],
+                                           atol=2e-4)
+    assert results[0]["cont_tokens"] == {
+        s: t for s, t in single["cont_tokens"].items()}
