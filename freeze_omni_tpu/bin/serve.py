@@ -313,8 +313,14 @@ class Server:
                     if self.service is not None:
                         if svc_sid is not None:
                             self.service.close_session(svc_sid)
+                            svc_sid = None
+                        try:
+                            self.service.open_session(sid, sink=sink)
+                        except RuntimeError as e:  # e.g. no free session slots
+                            await ws.send(json.dumps(
+                                {"event": "error", "message": str(e)}))
+                            continue
                         svc_sid = sid
-                        self.service.open_session(sid, sink=sink)
                     else:
                         if session is not None:
                             session.release()

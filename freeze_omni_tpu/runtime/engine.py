@@ -59,8 +59,21 @@ class ServingEngine:
                       "adapter_system", "predictor"):
                 self.core.params[k] = jax.tree.map(
                     lambda x: jax.device_put(x, repl), self.core.params[k])
-        self.store = SessionStore(cfg.audio_llm, cfg.serving.max_sessions,
-                                  kv_dtype)
+        # session rows shard over the mesh's 'data' axis: the batch dim must
+        # divide it, so round the capacity up instead of failing in device_put
+        # with an opaque sharding error (hit with --max_sessions 2 on a
+        # 4-way global data axis)
+        max_sessions = cfg.serving.max_sessions
+        if mesh is not None and "data" in mesh.shape:
+            dp = mesh.shape["data"]
+            if max_sessions % dp:
+                rounded = -(-max_sessions // dp) * dp
+                import sys
+                print(f"serving: max_sessions {max_sessions} -> {rounded} "
+                      f"(rounded up to a multiple of the data axis {dp})",
+                      file=sys.stderr)
+                max_sessions = rounded
+        self.store = SessionStore(cfg.audio_llm, max_sessions, kv_dtype)
         if mesh is not None:
             self.store.shard(mesh)
         # multi-host meshes: device_get of a 'data'-sharded result would fail
@@ -121,7 +134,11 @@ class ServingEngine:
         return slot
 
     def close_session(self, sid: str) -> None:
+        """Idempotent: closing an unknown/already-closed sid is a no-op (the
+        server's cleanup path runs it after failed opens and ws races)."""
         with self._lock:
+            if not self.store.has(sid):
+                return
             slot = self.store.slot_of(sid)
             self._callbacks.pop(slot, None)
             for i in IDENTITIES:

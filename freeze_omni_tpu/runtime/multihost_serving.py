@@ -177,9 +177,21 @@ class PrimaryDriver:
 
 def run_follower(engine, tts_params: Optional[dict] = None) -> None:
     """Participate in every device step the primary decides; returns when the
-    primary broadcasts stop."""
+    primary broadcasts stop.
+
+    A bundle that raises does so DETERMINISTICALLY on every host (e.g.
+    open_session on a full store raises before any state mutation), so the
+    primary's caller sees the error while engine state stays identical
+    everywhere — the follower must log and keep serving, not die and hang the
+    primary's next broadcast."""
+    import sys
+
     while True:
         bundle = _broadcast(None)
         if bundle["op"] == "stop":
             return
-        apply_bundle(engine, bundle, tts_params)
+        try:
+            apply_bundle(engine, bundle, tts_params)
+        except Exception as e:  # noqa: BLE001 — mirror of the primary's error
+            print(f"follower: bundle {bundle.get('op')!r} raised "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)

@@ -49,10 +49,26 @@ def drive(drv):
     out2 = drv.tick()
     cont = drv.continue_segments({f"s{i}": 5 for i in range(4)}, n_steps=4)
     drv.close_session("s3")
+    # liveness under deterministic engine errors: the store is back at 3/4 —
+    # fill it, then overflow. The overflow raises on EVERY host identically;
+    # the follower must keep serving (a dead follower hangs the next
+    # broadcast forever).
+    drv.open_session("s4")
+    try:
+        drv.open_session("s5")
+        overflow = "no-error"
+    except RuntimeError:
+        overflow = "raised"
+    drv.close_session("s4")
+    drv.open_session("s6")        # proves both hosts still serve opens
+    drv.submit_chunk("s6", "user", chunk(30), True)
+    out3 = drv.tick()
     return {
         "tick1": {str(k): v for k, v in out1["user"].items()},
         "tick2": {str(k): v for k, v in out2["user"].items()},
         "cont_tokens": {s: t for s, (t, _, _) in cont.items()},
+        "overflow": overflow,
+        "tick3": {str(k): v for k, v in out3["user"].items()},
     }
 
 

@@ -138,7 +138,11 @@ def test_lockstep_serving_matches_single_process():
     from freeze_omni_tpu.runtime.engine import ServingEngine
 
     single = child.drive(ServingEngine(child.tiny_serving_cfg(), seed=0))
-    for tick in ("tick1", "tick2"):
+    # the deliberate overflow raised on the primary AND the follower stayed
+    # alive to serve tick3 (a dead follower would hang the broadcast and trip
+    # the communicate timeout above)
+    assert results[0]["overflow"] == "raised" == single["overflow"]
+    for tick in ("tick1", "tick2", "tick3"):
         got, want = results[0][tick], single[tick]
         assert set(got) == {str(k) for k in want}
         for slot, pred in want.items():
