@@ -189,18 +189,40 @@ class LearnedVAD(EnergyVAD):
         path = weights or DEFAULT_VAD_WEIGHTS
         with np.load(path) as z:
             self.params = {k: z[k].astype(np.float32) for k in z.files}
+        # native probability core (one C call per chunk): the Python GRU loop
+        # costs ~740 us per 32 ms chunk — ~3 host cores at 128 duplex streams
+        self._native = None
+        try:
+            from ..frontend.native import NativeVAD
+            from ..training.vad import VAD_FBANK
+            self._native = NativeVAD(
+                self.params, sample_rate=cfg.sample_rate,
+                frame_ms=VAD_FBANK.frame_length_ms,
+                shift_ms=VAD_FBANK.frame_shift_ms)
+        except Exception:
+            pass
         super().__init__(cfg)
 
     def reset(self) -> None:
         super().reset()
         self.h = np.zeros(self.params["wz"].shape[1], np.float32)
         self._carry = np.zeros(0, np.float32)  # tail samples < one frame
+        if self._native is not None:
+            self._native.reset()
 
     @staticmethod
     def _sigmoid(x):
         return 1.0 / (1.0 + np.exp(-x))
 
     def _prob(self, audio: np.ndarray) -> float:
+        if self._native is not None:
+            p = self._native.push(np.asarray(audio, np.float32))
+            return 0.0 if p is None else p
+        return self._prob_py(audio)
+
+    def _prob_py(self, audio: np.ndarray) -> float:
+        """Numpy twin of native/frontend/vad.cc (kept as the fallback and the
+        parity oracle)."""
         from ..frontend.fbank import fbank_ref
         from ..training.vad import VAD_FBANK
 

@@ -45,15 +45,15 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "resample_create"):
-        # stale library from before the resampler was added: rebuild once
+    if not (hasattr(lib, "resample_create") and hasattr(lib, "vad_create")):
+        # stale library from before the newest kernels were added: rebuild once
         if not _build():
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "resample_create"):
+        if not (hasattr(lib, "resample_create") and hasattr(lib, "vad_create")):
             return None
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.fbank_create.restype = ctypes.c_void_p
@@ -92,6 +92,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.resample_flush.argtypes = [ctypes.c_void_p, f32p]
     lib.resample_compute.argtypes = [ctypes.c_void_p, f32p, ctypes.c_longlong,
                                      f32p]
+    lib.vad_create.restype = ctypes.c_void_p
+    lib.vad_create.argtypes = [ctypes.c_int, ctypes.c_double, ctypes.c_double,
+                               ctypes.c_int, ctypes.c_int, f32p, f32p, f32p,
+                               f32p, f32p, f32p, f32p, ctypes.c_float, f32p,
+                               f32p]
+    lib.vad_destroy.argtypes = [ctypes.c_void_p]
+    lib.vad_reset.argtypes = [ctypes.c_void_p]
+    lib.vad_push.restype = ctypes.c_int
+    lib.vad_push.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int, f32p]
     _lib = lib
     return lib
 
@@ -165,6 +174,50 @@ class NativeChunker:
         out = np.empty((self.frames, self.num_bins), np.float32)
         self._lib.chunker_process(self._h, _ptr(audio), _ptr(out))
         return out[None]
+
+
+class NativeVAD:
+    """Streaming learned-VAD probability core (native/frontend/vad.cc).
+
+    The full probability path of duplex/vad.LearnedVAD._prob — carry buffer,
+    16/8 ms log-mel fbank, per-frame GRU, output sigmoid — in one C call per
+    chunk (~30x the Python loop's throughput; the Python path is ~3 host
+    cores at 128 duplex streams)."""
+
+    def __init__(self, params: dict, sample_rate: int = 16000,
+                 frame_ms: float = 16.0, shift_ms: float = 8.0):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native frontend unavailable (g++ build failed)")
+        self._lib = lib
+        p = {k: np.ascontiguousarray(np.asarray(v, np.float32).reshape(
+            np.asarray(v).shape[0], -1) if np.asarray(v).ndim > 1 else
+            np.asarray(v, np.float32).ravel()) for k, v in params.items()}
+        num_bins = p["mean"].shape[0]
+        hidden = p["wz"].shape[-1] if p["wz"].ndim > 1 else p["bz"].shape[0]
+        self._h = lib.vad_create(
+            sample_rate, frame_ms, shift_ms, num_bins, hidden,
+            _ptr(p["wz"]), _ptr(p["wr"]), _ptr(p["wh"]), _ptr(p["bz"]),
+            _ptr(p["br"]), _ptr(p["bh"]), _ptr(p["wo"]),
+            float(np.asarray(params["bo"]).ravel()[0]), _ptr(p["mean"]),
+            _ptr(p["scale"]))
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.vad_destroy(self._h)
+            self._h = None
+
+    def reset(self) -> None:
+        self._lib.vad_reset(self._h)
+
+    def push(self, audio: np.ndarray):
+        """audio: [n] float in [-1,1] -> mean frame speech prob, or None if
+        the samples were buffered (not yet one full fbank frame)."""
+        audio = np.ascontiguousarray(audio, np.float32)
+        out = np.empty((1,), np.float32)
+        got = self._lib.vad_push(self._h, _ptr(audio), audio.shape[0],
+                                 _ptr(out))
+        return float(out[0]) if got else None
 
 
 class NativeResampler:

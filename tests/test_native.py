@@ -111,3 +111,62 @@ class TestNativeResampler:
         rs.reset()
         b = np.concatenate([rs.push(x), rs.flush()])
         np.testing.assert_allclose(a, b)
+
+
+class TestNativeVAD:
+    """native/frontend/vad.cc vs the numpy twin (duplex/vad.LearnedVAD
+    _prob_py). Probabilities agree to ~1e-3 (the native fbank's log-floor
+    rounding differs slightly from fbank_ref) and the IPU status sequences —
+    what the duplex engine actually consumes — are identical."""
+
+    def _pair(self):
+        from freeze_omni_tpu.duplex.vad import LearnedVAD
+
+        nat, py = LearnedVAD(), LearnedVAD()
+        assert nat._native is not None, "native VAD did not build"
+        py._native = None
+        nat.reset()
+        py.reset()
+        return nat, py
+
+    def _corpus(self):
+        from freeze_omni_tpu.training.vad import synth_speech
+
+        rng = np.random.RandomState(0)
+        segs = []
+        for i in range(6):
+            segs += [0.02 * rng.randn(512).astype(np.float32)
+                     for _ in range(12)]
+            utt = np.asarray(0.5 * synth_speech(np.random.RandomState(100 + i),
+                                                24 * 512), np.float32)
+            segs += [utt[j * 512:(j + 1) * 512] for j in range(24)]
+            segs += [np.zeros(512, np.float32)] * 30
+        return segs
+
+    def test_prob_parity_and_no_drift(self):
+        nat, py = self._pair()
+        errs = [abs(nat._prob(s) - py._prob_py(s)) for s in self._corpus()]
+        errs = np.asarray(errs)
+        assert errs.max() < 2e-3, errs.max()
+        # bounded, not drifting: the late half is no worse than the early half
+        half = len(errs) // 2
+        assert errs[half:].max() < 2e-3
+
+    def test_sub_frame_pushes_buffer_identically(self):
+        nat, py = self._pair()
+        rng = np.random.RandomState(3)
+        for n in (100, 27, 1, 200, 512, 5):
+            a = (0.1 * rng.randn(n)).astype(np.float32)
+            pn, pp = nat._prob(a), py._prob_py(a)
+            assert abs(pn - pp) < 2e-3, (n, pn, pp)
+
+    def test_ipu_status_sequence_identical(self):
+        nat, py = self._pair()
+        statuses = []
+        for s in self._corpus():
+            a = nat.predict({"audio": s, "time_stamp": None})
+            b = py.predict({"audio": s, "time_stamp": None})
+            statuses.append((a["status"], b["status"]))
+        assert all(x == y for x, y in statuses)
+        seen = {x for x, _ in statuses}
+        assert "ipu_sl" in seen and "ipu_el" in seen, seen
