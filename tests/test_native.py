@@ -39,6 +39,7 @@ class TestNativeChunker:
         rng = np.random.RandomState(2)
         nc = native.NativeChunker()
         pc = OfflineChunker()
+        pc._native = None  # force the jitted-JAX path as the oracle
         for _ in range(4):
             a = (rng.randn(2560) * 0.05).astype(np.float32)
             np.testing.assert_allclose(nc.process(a), pc.process(a),
@@ -49,6 +50,7 @@ class TestNativeChunker:
         nc = native.NativeChunker(frame_ms=16, shift_ms=8, steps_per_chunk=28,
                                   context_steps=4, scale=32767)
         pc = GatingChunker()
+        pc._native = None  # force the jitted-JAX path as the oracle
         assert nc.chunk_samples == pc.cfg.samples_per_chunk == 3584
         for _ in range(3):
             a = (rng.randn(3584) * 0.05).astype(np.float32)
@@ -170,3 +172,10 @@ class TestNativeVAD:
         assert all(x == y for x, y in statuses)
         seen = {x for x, _ in statuses}
         assert "ipu_sl" in seen and "ipu_el" in seen, seen
+
+
+def test_chunkers_default_to_native():
+    """Serving constructs chunkers via the frontends; when the library is
+    built they must take the zero-device-dispatch path by default."""
+    assert OfflineChunker()._native is not None
+    assert GatingChunker()._native is not None
