@@ -133,6 +133,48 @@ class ServingEngine:
                 self._len_host[slot] = self.store.prefix_len[slot]
         return slot
 
+    def export_session(self, sid: str) -> dict:
+        """Snapshot a live session for migration/failover: the full device
+        cache row (encoder sliding window, adapter conv state, LLM KV,
+        pe_index) as host numpy, plus the host metadata needed to resume it on
+        ANOTHER engine — including one with a different mesh/sharding or KV
+        dtype (cross-topology migration; import casts to the destination
+        layout). In-flight response segments are service-side state and are
+        not captured: export between responses. The reference externalizes
+        exactly this state per user (models/pipeline.py:36-44) but can only
+        move it between same-process pool replicas (bin/pool.py)."""
+        with self._lock:
+            slot = self.store.slot_of(sid)
+            role = self._slot_role.get(slot)
+            prefix_len = int(self.store.prefix_len[slot])
+        row = jax.tree.map(np.asarray,
+                           self._fetch(self.store.gather_slot(slot)))
+        return {"version": 1, "sid": sid, "role": role,
+                "prefix_len": prefix_len, "caches": row}
+
+    def import_session(self, sid: str, blob: dict,
+                       on_prediction: Optional[Callable] = None) -> int:
+        """Resume an exported session in this engine (see export_session)."""
+        if blob.get("version") != 1:
+            raise ValueError(f"unknown session blob version "
+                             f"{blob.get('version')!r}")
+        # cast each leaf to this store's layout (bf16 KV engines accept f32
+        # exports and vice versa)
+        row = jax.tree.map(
+            lambda x, t: np.asarray(x).astype(np.asarray(t).dtype),
+            blob["caches"], self.store._row_template)
+        with self._lock:
+            slot = self.store.alloc(sid)
+            self._slot_role[slot] = blob.get("role") or \
+                self.cfg.duplex.default_prompt
+            if on_prediction is not None:
+                self._callbacks[slot] = on_prediction
+            self.store.scatter_slot(slot, row)
+            self.store.prefix_len[slot] = int(blob["prefix_len"])
+            if self._len_host is not None:
+                self._len_host[slot] = int(np.asarray(row.kv.length)[0])
+        return slot
+
     def close_session(self, sid: str) -> None:
         """Idempotent: closing an unknown/already-closed sid is a no-op (the
         server's cleanup path runs it after failed opens and ws races)."""

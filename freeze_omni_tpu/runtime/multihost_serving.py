@@ -91,6 +91,12 @@ def apply_bundle(engine, bundle: dict, tts_params: Optional[dict] = None):
     if op == "continue":
         return engine.continue_segments(bundle["last_tokens"],
                                         n_steps=bundle["n_steps"])
+    if op == "export":
+        # the row fetch is a collective on multi-host meshes: every host
+        # participates and gets the identical blob
+        return engine.export_session(bundle["sid"])
+    if op == "import":
+        return engine.import_session(bundle["sid"], bundle["blob"])
     if op == "stop":
         return None
     raise ValueError(f"unknown bundle op {op!r}")
@@ -127,6 +133,19 @@ class PrimaryDriver:
 
     def close_session(self, sid: str) -> None:
         self._run({"op": "close", "sid": sid})
+
+    def export_session(self, sid: str) -> dict:
+        return self._run({"op": "export", "sid": sid})
+
+    def import_session(self, sid: str, blob: dict,
+                       on_prediction=None) -> int:
+        """The blob rides the broadcast frame (FRAME_BYTES cap): fine for
+        tiny/test configs; flagship KV rows exceed it — migrate those through
+        a single-host engine or raise the frame size."""
+        slot = self._run({"op": "import", "sid": sid, "blob": blob})
+        if on_prediction is not None:
+            self.engine._callbacks[slot] = on_prediction
+        return slot
 
     @property
     def num_active(self) -> int:

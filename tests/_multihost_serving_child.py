@@ -63,12 +63,21 @@ def drive(drv):
     drv.open_session("s6")        # proves both hosts still serve opens
     drv.submit_chunk("s6", "user", chunk(30), True)
     out3 = drv.tick()
+    # migration over the bundle path: the export fetch is a collective (every
+    # host participates), the import scatter is SPMD
+    blob = drv.export_session("s0")
+    drv.close_session("s0")
+    slot = drv.import_session("s0", blob)
+    drv.submit_chunk("s0", "user", chunk(31), False)
+    out4 = drv.tick()
+    migrated = out4["user"][slot]
     return {
         "tick1": {str(k): v for k, v in out1["user"].items()},
         "tick2": {str(k): v for k, v in out2["user"].items()},
         "cont_tokens": {s: t for s, (t, _, _) in cont.items()},
         "overflow": overflow,
         "tick3": {str(k): v for k, v in out3["user"].items()},
+        "migrated": migrated,
     }
 
 

@@ -151,3 +151,7 @@ def test_lockstep_serving_matches_single_process():
                                            atol=2e-4)
     assert results[0]["cont_tokens"] == {
         s: t for s, t in single["cont_tokens"].items()}
+    # migration (export -> close -> import -> tick) matches single-process
+    for k in ("state_1", "state_2"):
+        np.testing.assert_allclose(results[0]["migrated"][k],
+                                   single["migrated"][k], atol=2e-4)

@@ -278,3 +278,76 @@ class TestDualIdentityTick:
         np.testing.assert_array_equal(
             np.asarray(jax.device_get(fused.store.caches.kv.length)),
             fused._len_host)
+
+
+class TestSessionMigration:
+    """export_session/import_session: move a live session between engines
+    (failover / rebalancing), including across meshes and KV dtypes."""
+
+    def _warm(self, engine, sid="m1", seeds=(11, 12)):
+        engine.open_session(sid, role="Migration test.")
+        for i, s in enumerate(seeds):
+            engine.submit_chunk(sid, "user", _chunks(s, 1)[0], is_sl=(i == 0))
+            engine.tick()
+
+    def test_import_resumes_exactly(self):
+        cfg = tiny_system()
+        src = ServingEngine(cfg, seed=0)
+        self._warm(src)
+        blob = src.export_session("m1")
+        assert blob["prefix_len"] > 0
+
+        dst = ServingEngine(cfg, seed=0)  # same params (same seed)
+        dst.import_session("m1", blob)
+        s_slot, d_slot = src.store.slot_of("m1"), dst.store.slot_of("m1")
+        assert src.store.kv_length(s_slot) == dst.store.kv_length(d_slot)
+
+        nxt = _chunks(13, 1)[0]
+        src.submit_chunk("m1", "user", nxt, is_sl=False)
+        dst.submit_chunk("m1", "user", nxt, is_sl=False)
+        a = src.tick()["user"][s_slot]
+        b = dst.tick()["user"][d_slot]
+        for k in ("state_1", "state_2"):
+            assert abs(a[k] - b[k]) < 1e-6, (a, b)
+
+    def test_cross_topology_migration(self):
+        """Export from an unsharded engine, resume on a ('data','model') TP
+        mesh — the cast/scatter lifts the row onto the sharded store."""
+        from freeze_omni_tpu.parallel.mesh import make_mesh
+
+        cfg = tiny_system()
+        src = ServingEngine(cfg, seed=0)
+        self._warm(src)
+        blob = src.export_session("m1")
+
+        mesh = make_mesh((1, 2), ("data", "model"))
+        dst = ServingEngine(cfg, seed=0, mesh=mesh)
+        dst.import_session("m1", blob)
+
+        nxt = _chunks(14, 1)[0]
+        src.submit_chunk("m1", "user", nxt, is_sl=False)
+        dst.submit_chunk("m1", "user", nxt, is_sl=False)
+        a = src.tick()["user"][src.store.slot_of("m1")]
+        b = dst.tick()["user"][dst.store.slot_of("m1")]
+        for k in ("state_1", "state_2"):
+            assert abs(a[k] - b[k]) < 2e-3, (a, b)
+
+    def test_import_casts_kv_dtype(self):
+        cfg = tiny_system()
+        src = ServingEngine(cfg, seed=0)
+        self._warm(src)
+        blob = src.export_session("m1")
+        dst = ServingEngine(cfg, seed=0, kv_dtype=jnp.bfloat16)
+        dst.import_session("m1", blob)
+        row = dst.store.gather_slot(dst.store.slot_of("m1"))
+        assert row.kv.k.dtype == jnp.bfloat16
+        # still serves: one more tick produces a finite prediction
+        dst.submit_chunk("m1", "user", _chunks(15, 1)[0], is_sl=False)
+        p = dst.tick()["user"][dst.store.slot_of("m1")]["state_1"]
+        assert np.isfinite(p) and 0.0 <= p <= 1.0
+
+    def test_export_unknown_sid_raises(self):
+        cfg = tiny_system()
+        engine = ServingEngine(cfg, seed=0)
+        with pytest.raises(KeyError):
+            engine.export_session("nope")
