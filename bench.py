@@ -37,6 +37,41 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _device_probe(timeout_s: float = 180.0):
+    """Fail fast when the device backend hangs. The tunneled axon plugin
+    occasionally stops responding (observed: a 128x128 matmul never returns,
+    for an hour+); without this the bench hangs silently and the driver
+    records nothing. A probe thread initializes the backend and runs one tiny
+    op; on timeout the bench prints a diagnosable JSON line and exits."""
+    import threading
+
+    done = threading.Event()
+    err: list = []
+
+    def probe():
+        try:
+            x = jnp.ones((8, 8))
+            float(jnp.sum(x @ x))
+        except Exception as e:  # noqa: BLE001 — reported in the artifact
+            err.append(repr(e))
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "error", "value": 0.0, "unit": "none",
+            "vs_baseline": None,
+            "detail": {"error": "device backend unresponsive after "
+                                f"{timeout_s:.0f}s (axon tunnel hang?)"}}),
+            flush=True)
+        os._exit(2)
+    if err:
+        print(json.dumps({
+            "metric": "error", "value": 0.0, "unit": "none",
+            "vs_baseline": None, "detail": {"error": err[0]}}), flush=True)
+        os._exit(2)
+
+
 V5E_HBM_GBS = 819.0       # v5e HBM bandwidth
 V5E_PEAK_BF16 = 197e12    # v5e bf16 MXU peak FLOP/s
 
@@ -446,6 +481,7 @@ def main():
                    help="sweep stream counts (8..128) for the batched-tick "
                         "knee curve")
     args = p.parse_args()
+    _device_probe()
 
     from freeze_omni_tpu.config import (LLMConfig, SamplingConfig, flagship_system,
                                         tiny_system)
