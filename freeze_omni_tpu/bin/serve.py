@@ -53,6 +53,12 @@ def get_args(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--max_sessions", type=int, default=8)
+    p.add_argument("--state_dir", default=None,
+                   help="serving checkpoint dir (requires --engine, "
+                        "single-host): restore saved sessions at boot and "
+                        "snapshot all live sessions' KV context at shutdown "
+                        "— clients reconnecting with the same sid resume "
+                        "mid-conversation")
     p.add_argument("--respond", action="store_true",
                    help="attach the duplex responder: on dialog_ss the server "
                         "speaks back (response_text/response_audio events)")
@@ -99,6 +105,10 @@ class Server:
         if multi and not args.engine:
             raise SystemExit("--coordinator requires --engine (multi-host "
                              "serving is the batched engine path)")
+        if args.state_dir and (not args.engine or multi):
+            raise SystemExit("--state_dir requires --engine and is "
+                             "single-host (the snapshot fetch/import are not "
+                             "wired through the lockstep bundles at boot)")
         if multi and args.respond:
             raise SystemExit(
                 "--respond is single-host for now: the sentence-synthesis "
@@ -409,15 +419,33 @@ class Server:
             return
         if self.args.http_port:
             self._start_http()
+        if self.args.state_dir and self.service is not None:
+            import os as _os
+            if _os.path.exists(_os.path.join(self.args.state_dir,
+                                             "sessions.json")):
+                sids = self.service.engine.restore_sessions(
+                    self.args.state_dir)
+                print(f"restored {len(sids)} session(s) from "
+                      f"{self.args.state_dir}: {sids}", flush=True)
         try:
             async with websockets.serve(self.handler, self.args.host,
                                         self.args.port):
                 print(f"serving on ws://{self.args.host}:{self.args.port}",
                       flush=True)
-                if self.args.timeout:
-                    await asyncio.sleep(self.args.timeout)
-                else:
-                    await asyncio.Future()
+                try:
+                    if self.args.timeout:
+                        await asyncio.sleep(self.args.timeout)
+                    else:
+                        await asyncio.Future()
+                finally:
+                    # inside the serve context: leaving it closes every
+                    # connection, whose handlers close their sessions — the
+                    # snapshot must run while they are still live
+                    if self.args.state_dir and self.service is not None:
+                        sids = self.service.engine.save_sessions(
+                            self.args.state_dir)
+                        print(f"snapshotted {len(sids)} session(s) to "
+                              f"{self.args.state_dir}", flush=True)
         finally:
             if self.multi and self.service is not None:
                 # no tick may race the stop broadcast: followers exit on stop

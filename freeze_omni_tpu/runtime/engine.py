@@ -125,12 +125,18 @@ class ServingEngine:
         if role not in self._role_kv_cache:
             self._role_kv_cache[role] = self.core.role_kv(role)
         with self._lock:
+            existing = self.store.has(sid)
             slot = self.store.alloc(sid, self._role_kv_cache[role])
             self._slot_role[slot] = role
             if on_prediction is not None:
                 self._callbacks[slot] = on_prediction
             if self._len_host is not None:
-                self._len_host[slot] = self.store.prefix_len[slot]
+                # reattach (alloc returns the live slot untouched, e.g. a
+                # client reconnecting to a restored session): the row's KV is
+                # longer than the role prefix — refresh the mirror from the
+                # device instead of resetting it
+                self._len_host[slot] = self.store.kv_length(slot) if existing \
+                    else self.store.prefix_len[slot]
         return slot
 
     def export_session(self, sid: str) -> dict:
@@ -174,6 +180,51 @@ class ServingEngine:
             if self._len_host is not None:
                 self._len_host[slot] = int(np.asarray(row.kv.length)[0])
         return slot
+
+    def save_sessions(self, dirpath: str) -> List[str]:
+        """Snapshot every live session to `dirpath` (one .npz of cache leaves
+        per session + a sessions.json index). With restore_sessions this gives
+        serving checkpoint/resume: a server restart keeps every dialog's KV
+        context, and reconnecting clients resume mid-conversation. The
+        reference loses all per-user state on process exit (its caches live in
+        pool replicas, bin/pool.py)."""
+        import json as _json
+        import os as _os
+
+        _os.makedirs(dirpath, exist_ok=True)
+        index = {}
+        for i, sid in enumerate(self.store.active_sids):
+            blob = self.export_session(sid)
+            fn = f"session-{i:04d}.npz"
+            np.savez(_os.path.join(dirpath, fn),
+                     **{f"leaf_{j}": leaf for j, leaf in
+                        enumerate(jax.tree.leaves(blob["caches"]))})
+            index[sid] = {"file": fn, "role": blob["role"],
+                          "prefix_len": blob["prefix_len"]}
+        with open(_os.path.join(dirpath, "sessions.json"), "w") as f:
+            _json.dump({"version": 1, "sessions": index}, f)
+        return list(index)
+
+    def restore_sessions(self, dirpath: str) -> List[str]:
+        """Re-import every session saved by save_sessions (see there)."""
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(dirpath, "sessions.json")) as f:
+            index = _json.load(f)
+        if index.get("version") != 1:
+            raise ValueError(f"unknown snapshot version {index.get('version')!r}")
+        treedef = jax.tree.structure(self.store._row_template)
+        restored = []
+        for sid, meta in index["sessions"].items():
+            with np.load(_os.path.join(dirpath, meta["file"])) as z:
+                leaves = [z[f"leaf_{j}"] for j in range(len(z.files))]
+            caches = jax.tree.unflatten(treedef, leaves)
+            self.import_session(sid, {
+                "version": 1, "sid": sid, "role": meta["role"],
+                "prefix_len": meta["prefix_len"], "caches": caches})
+            restored.append(sid)
+        return restored
 
     def close_session(self, sid: str) -> None:
         """Idempotent: closing an unknown/already-closed sid is a no-op (the

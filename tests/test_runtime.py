@@ -351,3 +351,42 @@ class TestSessionMigration:
         engine = ServingEngine(cfg, seed=0)
         with pytest.raises(KeyError):
             engine.export_session("nope")
+
+
+class TestServingSnapshot:
+    """save_sessions/restore_sessions: serving checkpoint/resume. A restarted
+    engine keeps every dialog's KV context; a reconnecting client (same sid)
+    resumes mid-conversation via open_session's reattach path."""
+
+    def test_save_restore_roundtrip(self, tmp_path):
+        cfg = tiny_system()
+        src = ServingEngine(cfg, seed=0)
+        for i, sid in enumerate(("a", "b")):
+            src.open_session(sid, role=f"Snapshot test {i}.")
+            src.submit_chunk(sid, "user", _chunks(20 + i, 1)[0], is_sl=True)
+        src.tick()
+        saved = src.save_sessions(str(tmp_path))
+        assert set(saved) == {"a", "b"}
+
+        dst = ServingEngine(cfg, seed=0)  # "restarted" process, same params
+        restored = dst.restore_sessions(str(tmp_path))
+        assert set(restored) == {"a", "b"}
+        # reattach: open_session on a restored sid must keep the KV context
+        dst.open_session("a")
+        assert dst.store.kv_length(dst.store.slot_of("a")) == \
+            src.store.kv_length(src.store.slot_of("a"))
+
+        nxt = _chunks(25, 1)[0]
+        for e in (src, dst):
+            e.submit_chunk("a", "user", nxt, is_sl=False)
+        pa = src.tick()["user"][src.store.slot_of("a")]
+        pb = dst.tick()["user"][dst.store.slot_of("a")]
+        for k in ("state_1", "state_2"):
+            assert abs(pa[k] - pb[k]) < 1e-6, (pa, pb)
+
+    def test_restore_rejects_unknown_version(self, tmp_path):
+        import json
+        (tmp_path / "sessions.json").write_text(json.dumps({"version": 99}))
+        engine = ServingEngine(tiny_system(), seed=0)
+        with pytest.raises(ValueError, match="version"):
+            engine.restore_sessions(str(tmp_path))
