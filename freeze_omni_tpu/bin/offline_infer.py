@@ -41,6 +41,10 @@ def get_args():
     p.add_argument("--output_wav", required=True)
     p.add_argument("--max_tokens", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--voice_wav", default=None,
+                   help="voice prompt: reference wav whose TiCodec global "
+                        "style tokens condition the synthesized speech "
+                        "(requires codec params with the encoder branch)")
     return p.parse_args()
 
 
@@ -83,8 +87,20 @@ def run_inference(cfg: SystemConfig, args, pipeline=None, tts_params=None):
             k = jax.random.PRNGKey(args.seed + 7)
             k1, k2 = jax.random.split(k)
             tts_params = {"decoder": sd.init_params(k1, cfg.tts.decoder),
-                          "codec": codec_mod.init_params(k2, cfg.tts.codec)}
+                          "codec": codec_mod.init_params(
+                              k2, cfg.tts.codec,
+                              with_encoder=bool(
+                                  getattr(args, "voice_wav", None)))}
         tts = StreamingTTS(tts_params, cfg.tts, seed=args.seed)
+        if getattr(args, "voice_wav", None):
+            from ..tts import extract_global_tokens
+            vwav, vsr = read_wav(args.voice_wav)
+            if vwav.ndim > 1:
+                vwav = vwav.mean(axis=1)
+            gst = extract_global_tokens(tts_params["codec"], cfg.tts.codec,
+                                        vwav, vsr)
+            tts.set_global_tokens(gst)
+            print(f"voice prompt: global tokens {gst}")
         chunker = OfflineChunker(cfg.chunker)
 
     with span("read_audio"):

@@ -53,6 +53,9 @@ def get_args(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--max_sessions", type=int, default=8)
+    p.add_argument("--voice_wav", default=None,
+                   help="voice prompt: reference wav whose TiCodec global "
+                        "style tokens condition all synthesized speech")
     p.add_argument("--state_dir", default=None,
                    help="serving checkpoint dir (requires --engine, "
                         "single-host): restore saved sessions at boot and "
@@ -181,6 +184,28 @@ class Server:
             self.cfg = dataclasses.replace(
                 self.cfg, duplex=dataclasses.replace(
                     self.cfg.duplex, resp_threshold=args.resp_threshold))
+        if args.voice_wav:
+            # voice prompt: derive TiCodec global-style tokens from the
+            # reference wav once and bake them into the config, so every TTS
+            # instance (responder, service pool) synthesizes in that voice
+            import dataclasses
+
+            from ..frontend.wav import read_wav
+            from ..tts import extract_global_tokens
+
+            tts_probe = self._ckpt_tts or self._init_tts_params(
+                with_encoder=True)
+            self._ckpt_tts = tts_probe  # reuse: same weights at synthesis
+            vwav, vsr = read_wav(args.voice_wav)
+            if vwav.ndim > 1:
+                vwav = vwav.mean(axis=1)
+            gst = extract_global_tokens(tts_probe["codec"],
+                                        self.cfg.tts.codec, vwav, vsr)
+            self.cfg = dataclasses.replace(
+                self.cfg, tts=dataclasses.replace(
+                    self.cfg.tts, codec=dataclasses.replace(
+                        self.cfg.tts.codec, global_tokens=gst)))
+            print(f"voice prompt: global tokens {gst}", flush=True)
         self.service = None
         if args.engine:
             import dataclasses as _dc
@@ -284,7 +309,7 @@ class Server:
                                self.cfg.tts, seed=args.seed)
             self.responder = DuplexResponder(self.pipeline.core, tts, self.cfg)
 
-    def _init_tts_params(self):
+    def _init_tts_params(self, with_encoder: bool = False):
         """Random-init TTS params (weightless presets only)."""
         import jax
 
@@ -293,7 +318,8 @@ class Server:
 
         k1, k2 = jax.random.split(jax.random.PRNGKey(self.args.seed + 7))
         return {"decoder": sd.init_params(k1, self.cfg.tts.decoder),
-                "codec": codec_mod.init_params(k2, self.cfg.tts.codec)}
+                "codec": codec_mod.init_params(k2, self.cfg.tts.codec,
+                                               with_encoder=with_encoder)}
 
     async def handler(self, ws):
         from ..duplex.engine import DuplexSession

@@ -110,6 +110,14 @@ class StreamingTTS:
         self._rng, k = jax.random.split(self._rng)
         return k
 
+    def set_global_tokens(self, tokens) -> None:
+        """Switch the synthesis voice: tokens = [G] global-style-token ids
+        (TiCodec GST — the generator conditions every chunk on their
+        embedding). Takes effect on the next chunk; see
+        extract_global_tokens for deriving them from a reference wav."""
+        self._global_tokens = jnp.asarray(
+            np.asarray(tokens, np.int32).reshape(1, 1, -1))
+
     def _codec(self, tokens: np.ndarray) -> np.ndarray:
         """tokens: [n] codec ids -> [1, 1, samples] float numpy.
 
@@ -188,3 +196,31 @@ class StreamingTTS:
             up = self.cfg.codec.upsample_rate
             syn = syn[:, :, left * up :]
             yield np.concatenate([pcm_buffer, syn], axis=-1)
+
+
+def extract_global_tokens(codec_params: dict, ccfg, wav: np.ndarray,
+                          sr: int) -> tuple:
+    """Voice prompt: derive TiCodec global-style tokens from a reference wav.
+
+    The codec's mid-depth global branch summarizes timbre into GST ids
+    (models.py:475-514, 617-637); synthesizing with them transfers the
+    reference speaker's style. Requires codec params with the encoder branch
+    (init_params/convert_codec with_encoder=True). Returns a tuple of ints
+    suitable for CodecConfig.global_tokens or StreamingTTS.set_global_tokens.
+    """
+    if "encoder" not in codec_params:
+        raise ValueError(
+            "codec params lack the encoder branch; build them with "
+            "with_encoder=True to use a voice prompt")
+    from .frontend.wav import resample
+
+    wav = np.asarray(wav, np.float32).reshape(-1)
+    if sr != ccfg.sample_rate:
+        wav = resample(wav, sr, ccfg.sample_rate)
+    # the conv stack downsamples by upsample_rate: pad to one full frame
+    n = max(wav.shape[0], ccfg.upsample_rate)
+    n = ((n + ccfg.upsample_rate - 1) // ccfg.upsample_rate) * ccfg.upsample_rate
+    wav = np.pad(wav, (0, n - wav.shape[0]))
+    _, gst = codec_mod.encode(codec_params, ccfg,
+                              jnp.asarray(wav[None, None, :]))
+    return tuple(int(t) for t in np.asarray(gst).ravel())
