@@ -440,6 +440,73 @@ def load_bench(cfg, args, llm_dtype, quant=False):
     }))
 
 
+def hostpath_bench(args):
+    """HOST-side frontend capacity, no device involved: how many duplex
+    streams can one host core's VAD -> fbank gating -> serializer pipeline
+    sustain in real time? (The device tick capacity is --mode knee; serving
+    needs BOTH under budget.) Uses the real DuplexService over a stub engine,
+    with the native C++ frontend when built."""
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")  # never touch the device
+
+    from freeze_omni_tpu.config import tiny_system
+    from freeze_omni_tpu.runtime.service import DuplexService
+    from freeze_omni_tpu.training.vad import synth_speech
+
+    class _StubStore:
+        def slot_of(self, sid):
+            return 0
+
+        def has(self, sid):
+            return True
+
+    class _StubEngine:
+        store = _StubStore()
+
+        def open_session(self, sid, role=None):
+            return 0
+
+        def close_session(self, sid):
+            pass
+
+        def submit_chunk(self, sid, identity, chunk, is_sl):
+            pass
+
+        def tick(self):
+            return {}
+
+    cfg = tiny_system()
+    svc = DuplexService(cfg, engine=_StubEngine())
+    n, secs, sr = args.streams, 8.0, cfg.duplex.vad.sample_rate
+    rng = np.random.RandomState(0)
+    quiet = (0.002 * rng.randn(int(sr))).astype(np.float32)
+    speech = np.asarray(0.5 * synth_speech(rng, int(sr * (secs - 2))),
+                        np.float32)
+    tail = np.zeros(int(sr), np.float32)
+    audio = np.concatenate([quiet, speech, tail])
+    pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+    for i in range(n):
+        svc.open_session(f"h{i}")
+        svc.enqueue_audio_data(f"h{i}", "user", {"audio": pcm, "sr": sr,
+                                                 "enc": "s16le"})
+    native = bool(next(iter(svc.sessions.values()))
+                  .gating["user"]._native is not None)
+    t0 = time.perf_counter()
+    while svc.step():
+        pass
+    wall = time.perf_counter() - t0
+    audio_s = n * secs
+    streams = audio_s / wall  # one-core sustainable stream count
+    log(f"hostpath: {n} streams x {secs:.0f}s audio in {wall:.2f}s wall "
+        f"(native={native})")
+    print(json.dumps({
+        "metric": "hostpath_streams_per_core", "value": round(streams, 1),
+        "unit": "streams", "vs_baseline": None,
+        "detail": {"streams_fed": n, "audio_s": audio_s,
+                   "wall_s": round(wall, 3), "native_frontend": native}}))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--layers", type=int, default=28,
@@ -452,7 +519,7 @@ def main():
     p.add_argument("--preset", default="bench", choices=["bench", "tiny"])
     p.add_argument("--mode", default="latency",
                    choices=["latency", "serving", "load", "throughput",
-                            "knee"])
+                            "knee", "hostpath"])
     p.add_argument("--streams", type=int, default=8,
                    help="concurrent duplex sessions for --mode serving")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
@@ -481,6 +548,10 @@ def main():
                    help="sweep stream counts (8..128) for the batched-tick "
                         "knee curve")
     args = p.parse_args()
+    if args.mode == "hostpath":
+        # host-only (no device): measure the frontend pipeline's capacity
+        hostpath_bench(args)
+        return
     _device_probe()
 
     from freeze_omni_tpu.config import (LLMConfig, SamplingConfig, flagship_system,
