@@ -58,3 +58,54 @@ def corpus_score(pairs: List[Tuple[str, str]], char_level: bool
         errs += edit_distance(r, h)
         total += len(r)
     return errs / max(total, 1)
+
+
+# ---------------------------------------------------------------------------
+# Spoken QA scoring (BASELINE.md: Web Questions / LlaMA Questions / Audio
+# Trivia QA accuracy, assets/qa.png). SQuAD-style normalization: lowercase,
+# strip punctuation and articles, collapse whitespace.
+# ---------------------------------------------------------------------------
+
+_QA_ARTICLES = {"a", "an", "the"}
+
+
+def qa_normalize(text: str) -> str:
+    import re
+
+    text = re.sub(r"[^\w\s]", " ", text.lower())
+    toks = [t for t in text.split() if t not in _QA_ARTICLES]
+    return " ".join(toks)
+
+
+def qa_exact_match(answers: List[str], hyp: str) -> float:
+    h = qa_normalize(hyp)
+    return float(any(qa_normalize(a) == h for a in answers))
+
+
+def qa_contains(answers: List[str], hyp: str) -> float:
+    """Spoken-QA accuracy as the reference tables use it: the generated
+    response counts as correct when it CONTAINS a gold answer (responses are
+    conversational, not extractive spans)."""
+    h = f" {qa_normalize(hyp)} "
+    return float(any(f" {qa_normalize(a)} " in h for a in answers if a.strip()))
+
+
+def qa_f1(answers: List[str], hyp: str) -> float:
+    """Max token-F1 over the gold answers."""
+    from collections import Counter
+
+    hyp_toks = qa_normalize(hyp).split()
+    best = 0.0
+    for a in answers:
+        gold = qa_normalize(a).split()
+        if not gold or not hyp_toks:
+            best = max(best, float(gold == hyp_toks))
+            continue
+        common = Counter(hyp_toks) & Counter(gold)
+        overlap = sum(common.values())
+        if overlap == 0:
+            continue
+        p = overlap / len(hyp_toks)
+        r = overlap / len(gold)
+        best = max(best, 2 * p * r / (p + r))
+    return best

@@ -1,3 +1,4 @@
+import pytest
 import json
 
 import numpy as np
@@ -78,3 +79,24 @@ class TestAsrEvalHarness:
         res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res["n_utts"] == 3
         assert res["metric"] == "wer" and res["value"] >= 0.0
+
+
+class TestQAScoring:
+    def test_normalize(self):
+        from freeze_omni_tpu.utils.metrics import qa_normalize
+        assert qa_normalize("The  Answer, is: Paris!") == "answer is paris"
+        assert qa_normalize("A  an the") == ""
+
+    def test_exact_match_and_contains(self):
+        from freeze_omni_tpu.utils.metrics import qa_contains, qa_exact_match
+        assert qa_exact_match(["Paris", "paris france"], "  PARIS. ") == 1.0
+        assert qa_exact_match(["Paris"], "in Paris") == 0.0
+        assert qa_contains(["Paris"], "It is in Paris, of course.") == 1.0
+        assert qa_contains(["New York"], "I think York.") == 0.0
+        assert qa_contains(["the answer"], "answer!") == 1.0  # articles drop
+
+    def test_f1(self):
+        from freeze_omni_tpu.utils.metrics import qa_f1
+        assert qa_f1(["Barack Obama"], "Obama") == pytest.approx(2/3)
+        assert qa_f1(["a b", "x y z"], "x y z") == 1.0
+        assert qa_f1(["foo"], "bar") == 0.0
