@@ -23,11 +23,12 @@ import sys
 import numpy as np
 
 
-def transcribe(pipeline, chunker, wav: np.ndarray, max_tokens: int) -> str:
-    """Listen chunk-by-chunk then generate text (offline stage machine)."""
-    outputs = pipeline.speech_dialogue(
-        None, stat="pre",
-        role="Transcribe the user's speech exactly.")
+def transcribe(pipeline, chunker, wav: np.ndarray, max_tokens: int,
+               role: str = "Transcribe the user's speech exactly.") -> str:
+    """Listen chunk-by-chunk then generate text (offline stage machine).
+    The role prompt selects the task (transcription here; bin/qa_eval.py
+    passes an answering prompt)."""
+    outputs = pipeline.speech_dialogue(None, stat="pre", role=role)
     chunk = chunker.get_chunk_size()
     n = int(math.ceil(len(wav) / chunk)) * chunk
     padded = np.zeros(n, np.float32)

@@ -50,7 +50,7 @@ def main(argv=None):
     from ..frontend.wav import read_wav, resample
     from ..pipeline import InferencePipeline
     from ..utils.metrics import qa_contains, qa_exact_match, qa_f1
-    from .asr_eval import batched_transcribe
+    from .asr_eval import batched_transcribe, transcribe
 
     if args.model_path:
         from ..utils.factory import (build_system_from_reference,
@@ -95,16 +95,14 @@ def main(argv=None):
             hyps = batched_transcribe(pipeline, cfg,
                                       [load(p) for p, _ in group],
                                       args.max_tokens, role=QA_ROLE)
-            scored += [(golds, hyp) for (_, golds), hyp in zip(group, hyps)]
             for (_, golds), hyp in zip(group, hyps):
+                scored.append((golds, hyp))
                 print(f"[{len(scored)}] gold={golds[0][:40]!r} "
                       f"hyp={hyp[:40]!r}", file=sys.stderr)
     else:
         for path, golds in utts:
-            # the same listen->generate stage machine as asr_eval.transcribe;
-            # the QA role prompt turns it into answering
-            hyp = _transcribe_with_role(pipeline, chunker, load(path),
-                                        args.max_tokens)
+            hyp = transcribe(pipeline, chunker, load(path), args.max_tokens,
+                             role=QA_ROLE)
             scored.append((golds, hyp))
             print(f"[{len(scored)}] gold={golds[0][:40]!r} hyp={hyp[:40]!r}",
                   file=sys.stderr)
@@ -117,33 +115,6 @@ def main(argv=None):
                       "unit": "%", "n_utts": len(scored),
                       "detail": {"exact_match": round(100 * em, 2),
                                  "f1": round(100 * f1, 2)}}))
-
-
-def _transcribe_with_role(pipeline, chunker, wav, max_tokens):
-    """asr_eval.transcribe with the QA role prompt."""
-    import math
-
-    import numpy as np
-
-    outputs = pipeline.speech_dialogue(None, stat="pre", role=QA_ROLE)
-    chunk = chunker.get_chunk_size()
-    n = int(math.ceil(len(wav) / chunk)) * chunk
-    padded = np.zeros(n, np.float32)
-    padded[: len(wav)] = wav
-    for i in range(0, n, chunk):
-        outputs = pipeline.speech_dialogue(
-            chunker.process(padded[i: i + chunk]), **outputs)
-        outputs["stat"] = "dialog_cl"
-    chunker.reset()
-    outputs["adapter_cache"] = None
-    outputs["encoder_cache"] = None
-    outputs["stat"] = "dialog_ss"
-    outputs = pipeline.speech_dialogue(None, **outputs)
-    while outputs["stat"] == "dialog_cs" and \
-            len(outputs["past_tokens"]) <= max_tokens:
-        outputs = pipeline.speech_dialogue_segment(outputs, n_steps=16)
-    tok = pipeline.core.tokenizer
-    return tok.decode([t for t in outputs["past_tokens"] if t != tok.eod_id])
 
 
 if __name__ == "__main__":

@@ -62,6 +62,9 @@ def get_args(argv=None):
                         "snapshot all live sessions' KV context at shutdown "
                         "— clients reconnecting with the same sid resume "
                         "mid-conversation")
+    p.add_argument("--resume_grace", type=float, default=300.0,
+                   help="seconds a restored session waits for its client to "
+                        "reconnect before its slot is reclaimed")
     p.add_argument("--respond", action="store_true",
                    help="attach the duplex responder: on dialog_ss the server "
                         "speaks back (response_text/response_audio events)")
@@ -453,6 +456,21 @@ class Server:
                     self.args.state_dir)
                 print(f"restored {len(sids)} session(s) from "
                       f"{self.args.state_dir}: {sids}", flush=True)
+
+                async def evict_orphans(sids=sids):
+                    # restored sessions whose clients never reconnect must
+                    # not occupy slots forever (and be re-snapshotted at
+                    # every shutdown — a capacity leak across restarts)
+                    await asyncio.sleep(self.args.resume_grace)
+                    for sid in sids:
+                        attached = sid in self.service.sessions
+                        if not attached and self.service.engine.store.has(sid):
+                            self.service.engine.close_session(sid)
+                            print(f"evicted unclaimed restored session "
+                                  f"{sid!r} after {self.args.resume_grace:.0f}s",
+                                  flush=True)
+
+                asyncio.get_running_loop().create_task(evict_orphans())
         try:
             async with websockets.serve(self.handler, self.args.host,
                                         self.args.port):
@@ -466,8 +484,11 @@ class Server:
                 finally:
                     # inside the serve context: leaving it closes every
                     # connection, whose handlers close their sessions — the
-                    # snapshot must run while they are still live
+                    # snapshot must run while they are still live. Quiesce
+                    # the ticker first so no tick mutates KV mid-export.
                     if self.args.state_dir and self.service is not None:
+                        self._svc_stop.set()
+                        self._ticker_thread.join(timeout=30)
                         sids = self.service.engine.save_sessions(
                             self.args.state_dir)
                         print(f"snapshotted {len(sids)} session(s) to "

@@ -127,14 +127,18 @@ class ServingEngine:
         with self._lock:
             existing = self.store.has(sid)
             slot = self.store.alloc(sid, self._role_kv_cache[role])
+            if existing:
+                # reattach (e.g. a client reconnecting to a restored
+                # session): the KV row keeps its ORIGINAL role prefill, so
+                # the recorded role must not be clobbered by the caller's
+                # default prompt
+                role = self._slot_role.get(slot, role)
             self._slot_role[slot] = role
             if on_prediction is not None:
                 self._callbacks[slot] = on_prediction
             if self._len_host is not None:
-                # reattach (alloc returns the live slot untouched, e.g. a
-                # client reconnecting to a restored session): the row's KV is
-                # longer than the role prefix — refresh the mirror from the
-                # device instead of resetting it
+                # on reattach the row's KV is longer than the role prefix —
+                # refresh the mirror from the device instead of resetting it
                 self._len_host[slot] = self.store.kv_length(slot) if existing \
                     else self.store.prefix_len[slot]
         return slot
@@ -170,7 +174,7 @@ class ServingEngine:
             lambda x, t: np.asarray(x).astype(np.asarray(t).dtype),
             blob["caches"], self.store._row_template)
         with self._lock:
-            slot = self.store.alloc(sid)
+            slot = self.store.alloc(sid, reset=False)  # scatter follows
             self._slot_role[slot] = blob.get("role") or \
                 self.cfg.duplex.default_prompt
             if on_prediction is not None:
@@ -192,12 +196,21 @@ class ServingEngine:
         import os as _os
 
         _os.makedirs(dirpath, exist_ok=True)
+
+        def savable(leaf):
+            # np.savez silently degrades ml_dtypes leaves (bfloat16 & co.,
+            # dtype kind 'V') to raw void bytes that cannot be cast back:
+            # store them as f32 (lossless for bf16); import_session casts to
+            # the destination layout anyway
+            leaf = np.asarray(leaf)
+            return leaf.astype(np.float32) if leaf.dtype.kind == "V" else leaf
+
         index = {}
         for i, sid in enumerate(self.store.active_sids):
             blob = self.export_session(sid)
             fn = f"session-{i:04d}.npz"
             np.savez(_os.path.join(dirpath, fn),
-                     **{f"leaf_{j}": leaf for j, leaf in
+                     **{f"leaf_{j}": savable(leaf) for j, leaf in
                         enumerate(jax.tree.leaves(blob["caches"]))})
             index[sid] = {"file": fn, "role": blob["role"],
                           "prefix_len": blob["prefix_len"]}
@@ -214,9 +227,18 @@ class ServingEngine:
             index = _json.load(f)
         if index.get("version") != 1:
             raise ValueError(f"unknown snapshot version {index.get('version')!r}")
+        import sys as _sys
+
         treedef = jax.tree.structure(self.store._row_template)
         restored = []
         for sid, meta in index["sessions"].items():
+            if not self.store._free and not self.store.has(sid):
+                # a snapshot larger than this store (capacity shrank between
+                # runs) must not brick the boot: serve what fits, say so
+                print(f"restore_sessions: store full, skipping {sid!r} "
+                      f"(and {len(index['sessions']) - len(restored) - 1} "
+                      f"more)", file=_sys.stderr, flush=True)
+                break
             with np.load(_os.path.join(dirpath, meta["file"])) as z:
                 leaves = [z[f"leaf_{j}"] for j in range(len(z.files))]
             caches = jax.tree.unflatten(treedef, leaves)

@@ -198,11 +198,14 @@ def run_follower(engine, tts_params: Optional[dict] = None) -> None:
     """Participate in every device step the primary decides; returns when the
     primary broadcasts stop.
 
-    A bundle that raises does so DETERMINISTICALLY on every host (e.g.
-    open_session on a full store raises before any state mutation), so the
-    primary's caller sees the error while engine state stays identical
-    everywhere — the follower must log and keep serving, not die and hang the
-    primary's next broadcast."""
+    A bundle that raises a PYTHON-level engine error does so
+    DETERMINISTICALLY on every host (e.g. open_session on a full store raises
+    before any state mutation), so the primary's caller sees the error while
+    engine state stays identical everywhere — the follower logs and keeps
+    serving. A device/runtime-layer failure (XLA error, transfer failure,
+    OOM) is HOST-LOCAL and may leave this replica's state diverged mid-ops:
+    continuing would silently compute on diverged KV — re-raise and die
+    loudly instead (the operator restarts the deployment)."""
     import sys
 
     while True:
@@ -211,6 +214,9 @@ def run_follower(engine, tts_params: Optional[dict] = None) -> None:
             return
         try:
             apply_bundle(engine, bundle, tts_params)
-        except Exception as e:  # noqa: BLE001 — mirror of the primary's error
+        except Exception as e:  # noqa: BLE001 — filtered below
+            mod = type(e).__module__ or ""
+            if "Xla" in type(e).__name__ or mod.startswith(("jax", "jaxlib")):
+                raise
             print(f"follower: bundle {bundle.get('op')!r} raised "
                   f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)

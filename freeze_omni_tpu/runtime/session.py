@@ -63,16 +63,22 @@ class SessionStore:
         # pinned role-prefill length per slot (the sliding-KV "sink" prefix)
         self.prefix_len = np.zeros((max_sessions,), np.int32)
 
-    def alloc(self, sid: str, role_kv: Optional[qwen2.KVCache] = None) -> int:
+    def alloc(self, sid: str, role_kv: Optional[qwen2.KVCache] = None,
+              reset: bool = True) -> int:
         """Claim a slot; optionally seed its LLM KV row from a system-role
-        prefill (a batch-1 KVCache)."""
+        prefill (a batch-1 KVCache). reset=False skips the on-device template
+        write for callers that immediately scatter a full row (imports) —
+        halves their device traffic."""
         if sid in self._slots:
             return self._slots[sid]
         if not self._free:
             raise RuntimeError("no free session slots")
         slot = self._free.pop(0)
         self._slots[sid] = slot
-        self.reset_slot(slot, role_kv)
+        if reset:
+            self.reset_slot(slot, role_kv)
+        else:
+            self.prefix_len[slot] = 0
         return slot
 
     def free(self, sid: str) -> None:

@@ -79,15 +79,18 @@ def qa_normalize(text: str) -> str:
 
 def qa_exact_match(answers: List[str], hyp: str) -> float:
     h = qa_normalize(hyp)
-    return float(any(qa_normalize(a) == h for a in answers))
+    golds = [g for g in (qa_normalize(a) for a in answers) if g]
+    return float(any(g == h for g in golds))
 
 
 def qa_contains(answers: List[str], hyp: str) -> float:
     """Spoken-QA accuracy as the reference tables use it: the generated
     response counts as correct when it CONTAINS a gold answer (responses are
-    conversational, not extractive spans)."""
+    conversational, not extractive spans). Gold answers that NORMALIZE empty
+    ('the', punctuation-only) are skipped — they would match anything."""
     h = f" {qa_normalize(hyp)} "
-    return float(any(f" {qa_normalize(a)} " in h for a in answers if a.strip()))
+    golds = [g for g in (qa_normalize(a) for a in answers) if g]
+    return float(any(f" {g} " in h for g in golds))
 
 
 def qa_f1(answers: List[str], hyp: str) -> float:
@@ -98,8 +101,9 @@ def qa_f1(answers: List[str], hyp: str) -> float:
     best = 0.0
     for a in answers:
         gold = qa_normalize(a).split()
-        if not gold or not hyp_toks:
-            best = max(best, float(gold == hyp_toks))
+        if not gold:
+            continue  # normalizes empty — would credit empty hypotheses
+        if not hyp_toks:
             continue
         common = Counter(hyp_toks) & Counter(gold)
         overlap = sum(common.values())

@@ -100,3 +100,13 @@ class TestQAScoring:
         assert qa_f1(["Barack Obama"], "Obama") == pytest.approx(2/3)
         assert qa_f1(["a b", "x y z"], "x y z") == 1.0
         assert qa_f1(["foo"], "bar") == 0.0
+
+
+class TestQAEmptyGoldGuards:
+    def test_empty_normalized_gold_never_credits(self):
+        from freeze_omni_tpu.utils.metrics import (qa_contains,
+                                                   qa_exact_match, qa_f1)
+        for fn in (qa_exact_match, qa_contains, qa_f1):
+            assert fn(["the"], "") == 0.0, fn
+            assert fn(["***"], "   ") == 0.0, fn
+        assert qa_contains(["the", "Paris"], "paris") == 1.0

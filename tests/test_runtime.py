@@ -390,3 +390,50 @@ class TestServingSnapshot:
         engine = ServingEngine(tiny_system(), seed=0)
         with pytest.raises(ValueError, match="version"):
             engine.restore_sessions(str(tmp_path))
+
+
+class TestSnapshotHardening:
+    def test_bf16_snapshot_roundtrip(self, tmp_path):
+        """np.savez degrades ml_dtypes bfloat16 to raw void bytes; the saver
+        must store such leaves as f32 or the restore raises 'No cast function
+        available' — exactly the layout serve.py uses at full scale."""
+        cfg = tiny_system()
+        src = ServingEngine(cfg, seed=0, kv_dtype=jnp.bfloat16)
+        src.open_session("a", role="bf16 snapshot.")
+        src.submit_chunk("a", "user", _chunks(30, 1)[0], is_sl=True)
+        src.tick()
+        src.save_sessions(str(tmp_path))
+
+        dst = ServingEngine(cfg, seed=0, kv_dtype=jnp.bfloat16)
+        assert dst.restore_sessions(str(tmp_path)) == ["a"]
+        row = dst.store.gather_slot(dst.store.slot_of("a"))
+        assert row.kv.k.dtype == jnp.bfloat16
+        dst.submit_chunk("a", "user", _chunks(31, 1)[0], is_sl=False)
+        p = dst.tick()["user"][dst.store.slot_of("a")]["state_1"]
+        assert np.isfinite(p) and 0.0 <= p <= 1.0
+
+    def test_restore_overflow_skips_instead_of_bricking(self, tmp_path):
+        cfg = tiny_system()
+        big = dataclasses.replace(
+            cfg, serving=dataclasses.replace(cfg.serving, max_sessions=3))
+        src = ServingEngine(big, seed=0)
+        for i in range(3):
+            src.open_session(f"s{i}")
+        src.save_sessions(str(tmp_path))
+
+        small = dataclasses.replace(
+            cfg, serving=dataclasses.replace(cfg.serving, max_sessions=2))
+        dst = ServingEngine(small, seed=0)
+        restored = dst.restore_sessions(str(tmp_path))
+        assert len(restored) == 2  # what fits, no exception
+        assert dst.num_active == 2
+
+    def test_reattach_preserves_role(self):
+        cfg = tiny_system()
+        engine = ServingEngine(cfg, seed=0)
+        engine.open_session("r1", role="Original role.")
+        slot = engine.store.slot_of("r1")
+        # reconnect with no role (the server path): the recorded role must
+        # survive — the KV row still holds the original role prefill
+        engine.open_session("r1")
+        assert engine._slot_role[slot] == "Original role."
