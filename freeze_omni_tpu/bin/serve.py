@@ -115,14 +115,10 @@ class Server:
             raise SystemExit("--state_dir requires --engine and is "
                              "single-host (the snapshot fetch/import are not "
                              "wired through the lockstep bundles at boot)")
-        if multi and args.respond:
-            raise SystemExit(
-                "--respond is single-host for now: the sentence-synthesis "
-                "continuation path re-embeds text through the (global) LLM "
-                "embedding outside the lockstep bundles — the engine-level "
-                "respond_fast_many/continue_segments lockstep path exists "
-                "and is tested, but the DuplexService wiring does not use "
-                "it exclusively yet")
+        # --respond works multi-host: respond_fast_many/continue_segments are
+        # lockstep bundle ops, and the sentence-TTS re-embed (the one
+        # global-mesh collective outside them) rides an "embed" bundle;
+        # decoder+vocoder run primary-only on host-local TTS params.
         self._ckpt_params = None
         self._ckpt_tts = None
         self._tokenizer = None

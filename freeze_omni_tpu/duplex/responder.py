@@ -48,10 +48,15 @@ def split_sentences(tokenizer, eod_id: int, buf_toks: list, buf_hids: list,
 class DuplexResponder:
     def __init__(self, core: _Core, tts: StreamingTTS, cfg: SystemConfig,
                  max_tokens: Optional[int] = None,
-                 segment: Optional[int] = None):
+                 segment: Optional[int] = None, embed_fn=None):
         self.core = core
         self.tts = tts
         self.cfg = cfg
+        # token -> LLM-embedding lookup. Default: direct local lookup. Under
+        # multi-host serving the table is sharded over the GLOBAL mesh, so
+        # the lookup is a collective every host must join — the service
+        # passes the engine's (bundle-broadcasting) embed_tokens instead.
+        self.embed_fn = embed_fn
         # response length/cadence come from the config (one source of truth
         # with the batched service); explicit args override
         self.max_tokens = (max_tokens if max_tokens is not None
@@ -115,7 +120,10 @@ class DuplexResponder:
         ids = core.tokenizer.encode(post_process(text))
         if not ids:
             return (text, None)
-        emb = qwen2.embed_tokens(core.params["llm"], np.asarray(ids))
+        if self.embed_fn is not None:
+            emb = self.embed_fn(ids)
+        else:
+            emb = qwen2.embed_tokens(core.params["llm"], np.asarray(ids))
         emb = np.asarray(emb, np.float32).reshape(-1, dec_idim)[None]
         prefix = np.concatenate(hiddens, axis=1)
         prefix = np.asarray(prefix, np.float32).reshape(-1, dec_idim)[None]

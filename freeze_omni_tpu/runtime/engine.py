@@ -143,6 +143,15 @@ class ServingEngine:
                     else self.store.prefix_len[slot]
         return slot
 
+    def embed_tokens(self, ids) -> np.ndarray:
+        """Token ids -> LLM embeddings as host numpy (the sentence-TTS
+        re-embed stage, responder.py). On a sharded engine the lookup is a
+        collective; the result comes back through the replicate-then-get
+        path so it works on multi-host meshes too."""
+        emb = qwen2.embed_tokens(self.core.params["llm"],
+                                 jnp.asarray(np.asarray(ids, np.int32)))
+        return np.asarray(self._fetch(emb), np.float32)
+
     def export_session(self, sid: str) -> dict:
         """Snapshot a live session for migration/failover: the full device
         cache row (encoder sliding window, adapter conv state, LLM KV,

@@ -91,6 +91,10 @@ def apply_bundle(engine, bundle: dict, tts_params: Optional[dict] = None):
     if op == "continue":
         return engine.continue_segments(bundle["last_tokens"],
                                         n_steps=bundle["n_steps"])
+    if op == "embed":
+        # sentence-TTS re-embed: a collective on the global-mesh embedding
+        # table; the primary uses the result, followers just participate
+        return engine.embed_tokens(bundle["ids"])
     if op == "export":
         # the row fetch is a collective on multi-host meshes: every host
         # participates and gets the identical blob
@@ -133,6 +137,9 @@ class PrimaryDriver:
 
     def close_session(self, sid: str) -> None:
         self._run({"op": "close", "sid": sid})
+
+    def embed_tokens(self, ids):
+        return self._run({"op": "embed", "ids": [int(t) for t in ids]})
 
     def export_session(self, sid: str) -> dict:
         return self._run({"op": "export", "sid": sid})

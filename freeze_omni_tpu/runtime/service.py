@@ -86,7 +86,7 @@ class DuplexService:
 
             self._synth = DuplexResponder(
                 self.engine.core, StreamingTTS(tts_params, cfg.tts, seed=seed),
-                cfg)
+                cfg, embed_fn=self.engine.embed_tokens)
             self._tts_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="sentence-tts")
 

@@ -35,9 +35,10 @@ def chunk(seed):
     return np.random.RandomState(seed).randn(1, 32, 80).astype(np.float32)
 
 
-def drive(drv):
+def drive(drv, tts):
     """The chunk schedule both the multi-host and the single-process runs
-    execute: 4 sessions, an sl tick, a dual-identity tick, a continuation."""
+    execute: 4 sessions, an sl tick, a dual-identity tick, a continuation,
+    a batched fast response + sentence-TTS re-embed, overflow, migration."""
     for i in range(4):
         drv.open_session(f"s{i}")
     for i in range(4):
@@ -48,6 +49,10 @@ def drive(drv):
         drv.submit_chunk(f"s{i}", "system", chunk(20 + i), i == 0)
     out2 = drv.tick()
     cont = drv.continue_segments({f"s{i}": 5 for i in range(4)}, n_steps=4)
+    # full speech-to-speech lockstep: batched fast response (decoder+vocoder
+    # on host-local tts params) and the sentence-TTS re-embed collective
+    resp = drv.respond_fast_many(["s0", "s1"], tts, n_text=4)
+    emb = drv.embed_tokens([3, 1, 4, 1, 5])
     drv.close_session("s3")
     # liveness under deterministic engine errors: the store is back at 3/4 —
     # fill it, then overflow. The overflow raises on EVERY host identically;
@@ -78,7 +83,22 @@ def drive(drv):
         "overflow": overflow,
         "tick3": {str(k): v for k, v in out3["user"].items()},
         "migrated": migrated,
+        "resp_tokens": {s: list(map(int, t)) for s, (_, t) in resp.items()},
+        "resp_pcm_sum": {s: float(np.abs(p).sum()) for s, (p, _) in
+                         resp.items()},
+        "embed_sum": float(np.abs(emb).sum()),
     }
+
+
+def tiny_tts_params(cfg):
+    import jax
+
+    from freeze_omni_tpu.models import codec as codec_mod
+    from freeze_omni_tpu.models import speech_decoder as sd
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    return {"decoder": sd.init_params(k1, cfg.tts.decoder),
+            "codec": codec_mod.init_params(k2, cfg.tts.codec)}
 
 
 def main():
@@ -90,16 +110,18 @@ def main():
     from freeze_omni_tpu.runtime.engine import ServingEngine
 
     mesh = mh.make_global_mesh(("data", "model"), model_par=2)
-    engine = ServingEngine(tiny_serving_cfg(), seed=0, mesh=mesh)
+    cfg = tiny_serving_cfg()
+    engine = ServingEngine(cfg, seed=0, mesh=mesh)
+    tts = tiny_tts_params(cfg)
     if mh.is_primary():
-        drv = ms.PrimaryDriver(engine)
-        result = drive(drv)
+        drv = ms.PrimaryDriver(engine, tts)
+        result = drive(drv, tts)
         drv.stop()
     else:
         # followers observe the same device results through the engine's
         # callback-free path; replay and report the KV-length mirror as the
         # divergence probe
-        ms.run_follower(engine)
+        ms.run_follower(engine, tts)
         result = {"len_host": [int(x) for x in engine._len_host]}
     result["host_id"] = host_id
     if mh.is_primary():

@@ -137,7 +137,9 @@ def test_lockstep_serving_matches_single_process():
     import _multihost_serving_child as child
     from freeze_omni_tpu.runtime.engine import ServingEngine
 
-    single = child.drive(ServingEngine(child.tiny_serving_cfg(), seed=0))
+    scfg = child.tiny_serving_cfg()
+    single = child.drive(ServingEngine(scfg, seed=0),
+                         child.tiny_tts_params(scfg))
     # the deliberate overflow raised on the primary AND the follower stayed
     # alive to serve tick3 (a dead follower would hang the broadcast and trip
     # the communicate timeout above)
@@ -155,3 +157,11 @@ def test_lockstep_serving_matches_single_process():
     for k in ("state_1", "state_2"):
         np.testing.assert_allclose(results[0]["migrated"][k],
                                    single["migrated"][k], atol=2e-4)
+    # full speech-to-speech lockstep: fast-response text tokens match the
+    # single-process run exactly; PCM and the re-embed collective agree
+    assert results[0]["resp_tokens"] == single["resp_tokens"]
+    for s, v in single["resp_pcm_sum"].items():
+        np.testing.assert_allclose(results[0]["resp_pcm_sum"][s], v,
+                                   rtol=1e-4)
+    np.testing.assert_allclose(results[0]["embed_sum"], single["embed_sum"],
+                               rtol=1e-5)
