@@ -81,6 +81,26 @@ class TestAsrEvalHarness:
         assert res["metric"] == "wer" and res["value"] >= 0.0
 
 
+class TestOutCerEvalHarness:
+    def test_harness_end_to_end(self, tmp_path, capsys):
+        """Synthesize each manifest sentence (teacher-forced LLM hiddens ->
+        AR decoder -> vocoder), ASR it back, score CER — the harness for the
+        reference's out_cer.png table (top-k sweep). Random weights give
+        garbage transcripts; the structure must still round-trip."""
+        from freeze_omni_tpu.bin.out_cer_eval import main
+
+        manifest = tmp_path / "sents.txt"
+        manifest.write_text("hello world\n")
+        by_top_k = main(["--preset", "tiny", "--manifest", str(manifest),
+                         "--top_k", "1,2", "--max_tokens", "4"])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        res = json.loads(out)
+        assert res["metric"] == "out_cer" and res["n_utts"] == 1
+        assert set(by_top_k) == {1, 2}
+        for v in by_top_k.values():
+            assert np.isfinite(v) and 0.0 <= v <= 400.0
+
+
 class TestQAScoring:
     def test_normalize(self):
         from freeze_omni_tpu.utils.metrics import qa_normalize
