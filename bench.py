@@ -25,9 +25,13 @@ import jax.numpy as jnp
 import numpy as np
 
 # persistent XLA compilation cache: repeat bench runs skip the multi-minute
-# warmup compiles
+# warmup compiles. Machine-fingerprint-scoped: a cache dir that outlives the
+# VM must never feed foreign-CPU AOT code back to XLA (observed SIGSEGV).
+from freeze_omni_tpu.utils.compile_cache import machine_fingerprint  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+                  os.path.join(os.path.dirname(__file__), ".jax_cache",
+                               machine_fingerprint()))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 BASELINE_P50_MS = 753.0

@@ -23,8 +23,13 @@ jax.config.update("jax_platforms", "cpu")
 # box's single CPU core, and the cache works for the forced-host backend too
 # (measured 11.5s -> 1.4s on a probe program). First run pays the compiles;
 # repeat runs of unchanged tests skip them.
+# (fingerprint-scoped: a cache dir carried across machines must never feed
+# foreign-CPU AOT code back to XLA — observed SIGSEGV; utils/compile_cache.py)
+from freeze_omni_tpu.utils.compile_cache import machine_fingerprint  # noqa: E402
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    os.path.join(os.path.dirname(__file__), ".jax_cache",
+                 machine_fingerprint()))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -78,3 +78,45 @@ def test_server_session_over_websocket(unused_port=8971):
     assert 0.0 <= upd["probs"]["state_1"] <= 1.0
     err = [e for e in events if e["event"] == "error"]
     assert err and "bogus" in err[0]["message"]
+
+
+def test_client_cli_against_live_responding_server(tmp_path,
+                                                   unused_port=8973):
+    """bin/client.py drives a real server end-to-end: stream a wav at
+    accelerated cadence, receive dialog events and the spoken response, write
+    the reply wav."""
+    pytest.importorskip("websockets")
+
+    from freeze_omni_tpu.bin.client import main as client_main
+    from freeze_omni_tpu.bin.serve import Server, get_args
+    from freeze_omni_tpu.frontend.wav import read_wav, write_wav
+    from freeze_omni_tpu.training.vad import synth_speech
+
+    args = get_args(["--preset", "tiny", "--port", str(unused_port),
+                     "--timeout", "120", "--engine", "--respond",
+                     "--resp_threshold", "0.0"])
+    server = Server(args)
+    t = threading.Thread(target=lambda: asyncio.run(server.run()),
+                         daemon=True)
+    t.start()
+    time.sleep(1.0)
+
+    n = server.cfg.duplex.gating.samples_per_chunk
+    wav = np.concatenate([
+        np.zeros(2 * n, np.float32),
+        0.5 * synth_speech(np.random.RandomState(7), 4 * n),
+        np.zeros(3 * n, np.float32)])
+    inp = tmp_path / "in.wav"
+    out = tmp_path / "out.wav"
+    write_wav(str(inp), wav, 16000)
+
+    stats = client_main(["--url", f"ws://127.0.0.1:{unused_port}",
+                         "--input_wav", str(inp), "--output_wav", str(out),
+                         "--speed", "8", "--listen_s", "12"])
+    assert stats["events"].get("dialog_state_update", 0) >= 1
+    assert stats["events"].get("vad_event", 0) >= 1
+    # resp_threshold 0.0: the first user prediction triggers a spoken reply
+    assert stats["texts"], f"no response_text; events={stats['events']}"
+    assert stats["responses"], f"no response_audio; events={stats['events']}"
+    reply, sr = read_wav(str(out))
+    assert reply.size > 0 and sr in (16000, 24000)
