@@ -38,7 +38,12 @@ def get_args(argv=None):
     p.add_argument("--speed", type=float, default=1.0,
                    help="send cadence multiplier (1 = real time)")
     p.add_argument("--listen_s", type=float, default=5.0,
-                   help="keep listening this long after the wav ends")
+                   help="idle window: stop once no event has arrived for "
+                        "this long after the wav ends")
+    p.add_argument("--max_listen_s", type=float, default=120.0,
+                   help="hard cap on the post-stream listen phase (a reply "
+                        "known to be in flight — dialog_ss seen, audio not "
+                        "yet received — extends the idle window up to this)")
     p.add_argument("--verbose", action="store_true",
                    help="print every event (default: decisions + responses)")
     return p.parse_args(argv)
@@ -61,6 +66,7 @@ async def run_client(args) -> dict:
     chunk = max(1, int(CHUNK_S * sr))
 
     stats = {"events": {}, "responses": [], "texts": []}
+    last_event = [time.monotonic()]
     done = asyncio.Event()
 
     async with websockets.connect(args.url, max_size=None,
@@ -76,6 +82,7 @@ async def run_client(args) -> dict:
                     msg = json.loads(await ws.recv())
                     ev = msg.get("event")
                     stats["events"][ev] = stats["events"].get(ev, 0) + 1
+                    last_event[0] = time.monotonic()
                     if ev == "response_audio" and "pcm_b64" in msg:
                         pcm = np.frombuffer(
                             base64.b64decode(msg["pcm_b64"]), "<i2"
@@ -110,8 +117,23 @@ async def run_client(args) -> dict:
                 "time_stamp": time.time()}))
             await asyncio.sleep(len(seg) / sr / max(args.speed, 1e-6))
         _log(f"streamed {len(wav) / sr:.1f}s of audio; listening "
-             f"{args.listen_s:.1f}s for responses")
-        await asyncio.sleep(args.listen_s)
+             f"(idle window {args.listen_s:.1f}s, cap {args.max_listen_s:.0f}s)")
+        # adaptive listen: a fixed sleep races first-use jit compiles on the
+        # server (a reply can land tens of seconds after the last event on a
+        # loaded host). Stay while events keep arriving; while a reply is
+        # known to be in flight (dialog_ss fired but no response_audio yet),
+        # keep waiting up to the hard cap.
+        listen_start = time.monotonic()
+        last_event[0] = listen_start
+        while True:
+            now = time.monotonic()
+            if now - listen_start > args.max_listen_s:
+                break
+            in_flight = (stats["events"].get("dialog_ss_callback", 0) > 0
+                         and not stats["responses"])
+            if not in_flight and now - last_event[0] > args.listen_s:
+                break
+            await asyncio.sleep(0.25)
         done.set()
         await ws.send(json.dumps({"type": "stop"}))
         rt.cancel()

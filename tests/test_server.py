@@ -112,7 +112,7 @@ def test_client_cli_against_live_responding_server(tmp_path,
 
     stats = client_main(["--url", f"ws://127.0.0.1:{unused_port}",
                          "--input_wav", str(inp), "--output_wav", str(out),
-                         "--speed", "8", "--listen_s", "12"])
+                         "--speed", "8", "--listen_s", "6"])
     assert stats["events"].get("dialog_state_update", 0) >= 1
     assert stats["events"].get("vad_event", 0) >= 1
     # resp_threshold 0.0: the first user prediction triggers a spoken reply
