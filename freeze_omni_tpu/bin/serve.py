@@ -56,6 +56,13 @@ def get_args(argv=None):
     p.add_argument("--voice_wav", default=None,
                    help="voice prompt: reference wav whose TiCodec global "
                         "style tokens condition all synthesized speech")
+    p.add_argument("--lora", default=None,
+                   help="LoRA adapter .npz (bin/train.py --stage lora): "
+                        "merged into the LLM weights at boot — works with "
+                        "bf16 AND quantized checkpoints (dequant-merge-"
+                        "requant), zero serving overhead")
+    p.add_argument("--lora_scale", type=float, default=None,
+                   help="override the merge scale stored in the adapter")
     p.add_argument("--state_dir", default=None,
                    help="serving checkpoint dir (requires --engine, "
                         "single-host): restore saved sessions at boot and "
@@ -205,6 +212,29 @@ class Server:
                     self.cfg.tts, codec=dataclasses.replace(
                         self.cfg.tts.codec, global_tokens=gst)))
             print(f"voice prompt: global tokens {gst}", flush=True)
+        if args.lora:
+            import jax
+            import jax.numpy as jnp
+
+            from ..models import lora as lora_mod
+
+            tree, scale = lora_mod.load(args.lora)
+            if args.lora_scale is not None:
+                scale = args.lora_scale
+            if self._ckpt_params is None:
+                # weightless preset: materialize the params the pipeline
+                # would otherwise random-init, so there is a tree to merge
+                from ..models import audio_llm as _al
+
+                dt = jnp.float32 if args.preset == "tiny" else jnp.bfloat16
+                self._ckpt_params = _al.init_params(
+                    jax.random.PRNGKey(args.seed), self.cfg.audio_llm,
+                    llm_dtype=dt)
+            self._ckpt_params["llm"] = lora_mod.merge(
+                self._ckpt_params["llm"], jax.tree.map(jnp.asarray, tree),
+                scale)
+            print(f"merged LoRA adapter {args.lora} (scale {scale})",
+                  flush=True)
         self.service = None
         if args.engine:
             import dataclasses as _dc

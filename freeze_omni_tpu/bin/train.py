@@ -11,6 +11,9 @@ Stages (--stage):
   prompt   input-side 3: prompt-embedding tuning only (tables frozen-LLM CE)
   state    duplex: encoder/adapter/state-head chunk-label CE
   decoder  output-side 2/3: AR speech-decoder teacher-forced CE
+  lora     low-rank adapter on the frozen LLM (next-token CE; the working
+           form of the reference's dead LoRA block, audioLLM.py:150-157) —
+           writes <ckpt_dir>/lora.npz for `serve --lora`
   all      combined duplex step (state [+ decoder]) — default
 (Output-side stage 1, codec GAN training, is training/codec_gan.py.)
 
@@ -42,7 +45,11 @@ def get_args(argv=None):
     p.add_argument("--preset", default="tiny", choices=["tiny", "flagship"])
     p.add_argument("--stage", default="all",
                    choices=["ctc", "align", "prompt", "state", "decoder",
-                            "all"])
+                            "lora", "all"])
+    p.add_argument("--lora_rank", type=int, default=8)
+    p.add_argument("--lora_targets", default="q,v",
+                   help="comma-joined projection names for --stage lora "
+                        "(among q,k,v,o,gate,up,down)")
     p.add_argument("--ctc_vocab", type=int, default=None,
                    help="CTC label-space size (default: 16 for synthetic "
                         "data; max manifest token id + 1 with --manifest)")
@@ -138,6 +145,13 @@ def main(argv=None):
         trainable = {"speech_decoder": sd.init_params(
             jax.random.PRNGKey(args.seed + 1), dcfg)}
         frozen = {}
+    elif args.stage == "lora":
+        from ..models import lora as lora_mod
+
+        trainable = {"lora": lora_mod.init(
+            jax.random.PRNGKey(args.seed + 3), cfg.llm, rank=args.lora_rank,
+            targets=tuple(args.lora_targets.split(",")))}
+        frozen = {"llm": params["llm"]}
     else:  # all
         trainable = {
             "encoder_user": params["encoder_user"],
@@ -265,6 +279,15 @@ def main(argv=None):
             with open(os.path.join(args.ckpt_dir, "meta.json"), "w") as f:
                 json.dump({"step": step, "loss": loss}, f)
             print(f"saved checkpoint at step {step}", flush=True)
+
+    if args.stage == "lora" and args.ckpt_dir and \
+            (not multi or mh.is_primary()):
+        from ..models import lora as lora_mod
+
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        lora_path = os.path.join(args.ckpt_dir, "lora.npz")
+        lora_mod.save(lora_path, jax.device_get(state.trainable["lora"]))
+        print(f"saved LoRA adapter to {lora_path}", flush=True)
 
     summary = {"final_step": start_step + len(losses),
                "first_loss": round(losses[0], 4),

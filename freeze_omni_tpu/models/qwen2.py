@@ -129,7 +129,8 @@ def _gqa_attention(q, k_all, v_all, mask, rep: int):
 
 
 def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,
-            cache: KVCache, pos_offset=0) -> Tuple[jnp.ndarray, KVCache]:
+            cache: KVCache, pos_offset=0, lora=None, lora_scale: float = 1.0
+            ) -> Tuple[jnp.ndarray, KVCache]:
     """Prefill/decode step over a static-length chunk of embeddings.
 
     embeds: [B, T, D] (chunk padded to static T); mask: [B, T] validity.
@@ -140,6 +141,11 @@ def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,
     pos_offset ([B] or scalar) is subtracted from RoPE positions (cache slots
     are unaffected): the speech decoder restarts positions after its KV prefix
     (models/decoder/decoder.py:337-341).
+
+    lora: optional stacked adapter tree (models/lora.py — the working form of
+    the reference's dead LoRA block, audioLLM.py:150-157): {proj_name:
+    {"a": [L, in, r], "b": [L, r, out]}}; each named projection gains
+    lora_scale * (h @ A) @ B while the base weights stay frozen.
     """
     B, T, D = embeds.shape
     H, Hkv, dk = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -176,19 +182,28 @@ def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,
         return y.astype(x.dtype)
 
     def layer_fn(x, inputs):
-        lp, k_cache, v_cache = inputs  # caches: [B, S, Hkv, dk]
+        lp, lo, k_cache, v_cache = inputs  # caches: [B, S, Hkv, dk]
+
+        def proj(name, h):
+            y = linear(lp[name], h)
+            if lo is not None and name in lo:  # trace-time membership
+                from . import lora as lora_mod
+
+                y = y + lora_mod.delta(lo[name], h, lora_scale)
+            return y
+
         h = rms_norm(lp["ln1"], x, cfg.rms_eps)
-        q = linear(lp["q"], h).reshape(B, T, H, dk)
-        k = linear(lp["k"], h).reshape(B, T, Hkv, dk)
-        v = linear(lp["v"], h).reshape(B, T, Hkv, dk)
+        q = proj("q", h).reshape(B, T, H, dk)
+        k = proj("k", h).reshape(B, T, Hkv, dk)
+        v = proj("v", h).reshape(B, T, Hkv, dk)
         q = apply_rot(q, cos, sin)
         k = apply_rot(k, cos, sin)
         k_cache = k_cache.at[batch_idx, dest].set(k.astype(k_cache.dtype))
         v_cache = v_cache.at[batch_idx, dest].set(v.astype(v_cache.dtype))
         att = _gqa_attention(q, k_cache, v_cache, attn_mask, rep)
-        x = x + linear(lp["o"], att)
+        x = x + proj("o", att)
         h2 = rms_norm(lp["ln2"], x, cfg.rms_eps)
-        ffn = linear(lp["down"], jax.nn.silu(linear(lp["gate"], h2)) * linear(lp["up"], h2))
+        ffn = proj("down", jax.nn.silu(proj("gate", h2)) * proj("up", h2))
         x = x + ffn
         return x, (k_cache, v_cache)
 
@@ -198,14 +213,23 @@ def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,
         x = embeds
         new_ks, new_vs = [], []
         for i, lp in enumerate(params["layers"]):
-            x, (nk, nv) = layer_fn(x, (lp, cache.k[i], cache.v[i]))
+            lo_i = None if lora is None else jax.tree.map(
+                lambda t: t[i], lora)
+            x, (nk, nv) = layer_fn(x, (lp, lo_i, cache.k[i], cache.v[i]))
             new_ks.append(nk)
             new_vs.append(nv)
         new_k = jnp.stack(new_ks)
         new_v = jnp.stack(new_vs)
     else:
-        x, (new_k, new_v) = jax.lax.scan(
-            layer_fn, embeds, (params["layers"], cache.k, cache.v))
+        def scan_fn(x, inputs):
+            if lora is None:
+                lp, k_cache, v_cache = inputs
+                return layer_fn(x, (lp, None, k_cache, v_cache))
+            return layer_fn(x, inputs)
+
+        xs = ((params["layers"], cache.k, cache.v) if lora is None
+              else (params["layers"], lora, cache.k, cache.v))
+        x, (new_k, new_v) = jax.lax.scan(scan_fn, embeds, xs)
     x = rms_norm(params["final_norm"], x, cfg.rms_eps)
 
     new_cache = KVCache(k=new_k, v=new_v, length=cache.length + n_new)

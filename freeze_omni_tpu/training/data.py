@@ -84,6 +84,25 @@ def synth_asr_batch(seed: int, cfg: AudioLLMConfig, batch: int,
     }
 
 
+def synth_lora_batch(seed: int, cfg: AudioLLMConfig, batch: int,
+                     text_len: int = 12, n_tokens: int = 8,
+                     base: int = 2) -> Dict[str, np.ndarray]:
+    """LoRA-stage fixture: sequences that follow a fixed deterministic
+    successor map over a small token set (t -> (5t+1) mod n + base). A random
+    frozen LLM cannot predict the successor; a low-rank adapter can learn the
+    map (it is a rank-<=n_tokens linear structure), so tests can assert
+    learning, not just finiteness."""
+    rng = np.random.RandomState(seed)
+    ids = np.zeros((batch, text_len), np.int32)
+    ids[:, 0] = rng.randint(0, n_tokens, size=batch)
+    for t in range(1, text_len):
+        ids[:, t] = (ids[:, t - 1] * 5 + 1) % n_tokens
+    return {
+        "text_ids": ids + base,
+        "text_mask": np.ones((batch, text_len), bool),
+    }
+
+
 def synth_decoder_batch(seed: int, cfg: SpeechDecoderConfig, batch: int,
                         hidden_len: int = 6, y_len: int = 8
                         ) -> Dict[str, np.ndarray]:
@@ -119,6 +138,8 @@ def stage_batches(stage: str, cfg: AudioLLMConfig, dcfg: SpeechDecoderConfig,
             yield synth_audio_llm_batch(seed + i, cfg, batch)
         elif stage == "decoder":
             yield synth_decoder_batch(seed + i, dcfg, batch)
+        elif stage == "lora":
+            yield synth_lora_batch(seed + i, cfg, batch)
         elif stage == "all":
             b = synth_audio_llm_batch(seed + i, cfg, batch)
             b.update(synth_decoder_batch(seed + 1000 + i, dcfg, batch))

@@ -138,6 +138,31 @@ def audio_llm_loss(trainable, frozen, cfg: AudioLLMConfig,
     return jnp.sum(nll * label_mask) / jnp.maximum(jnp.sum(label_mask), 1)
 
 
+def lora_lm_loss(trainable, frozen, cfg: AudioLLMConfig,
+                 text_ids: jnp.ndarray, text_mask: jnp.ndarray,
+                 lora_scale: float = 1.0) -> jnp.ndarray:
+    """LoRA adaptation stage: next-token CE through the frozen LLM with only
+    the low-rank adapter trainable (models/lora.py — the working form of the
+    reference's dead LoRA block, audioLLM.py:150-157).
+
+    trainable: {'lora': {proj: {'a','b'}}}; frozen: {'llm'}. text_ids [B, T],
+    text_mask [B, T] (padding). Token t is predicted from position t-1; the
+    base weights, embeddings and lm_head never receive gradients."""
+    emb = qwen2.embed_tokens(frozen["llm"], text_ids)
+    B, T, D = emb.shape
+    cache = qwen2.init_cache(cfg.llm, B, max_len=T + 1, dtype=emb.dtype)
+    hidden, _ = qwen2.forward(frozen["llm"], cfg.llm, emb,
+                              jnp.ones((B, T), bool), cache,
+                              lora=trainable["lora"], lora_scale=lora_scale)
+    logits = qwen2.logits(frozen["llm"], cfg.llm,
+                          hidden[:, :-1].astype(jnp.float32))
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = text_ids[:, 1:]
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    m = (text_mask[:, 1:] & text_mask[:, :-1]).astype(jnp.float32)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1)
+
+
 def speech_decoder_loss(params, cfg: SpeechDecoderConfig,
                         hidden: jnp.ndarray, hidden_lens: jnp.ndarray,
                         y: jnp.ndarray, y_lens: jnp.ndarray) -> jnp.ndarray:
@@ -248,7 +273,7 @@ def train_step(state: TrainState, frozen: dict, optimizer,
             {"loss": loss})
 
 
-STAGES = ("ctc", "align", "prompt", "state", "decoder", "all")
+STAGES = ("ctc", "align", "prompt", "state", "decoder", "lora", "all")
 
 
 def stage_loss(stage: str, trainable, frozen, cfg: AudioLLMConfig,
@@ -271,6 +296,9 @@ def stage_loss(stage: str, trainable, frozen, cfg: AudioLLMConfig,
             trainable["speech_decoder"], dcfg, batch["dec_hidden"],
             batch["dec_hidden_lens"], batch["dec_y"],
             batch["dec_y_lens"]) / batch["dec_y"].shape[0]
+    if stage == "lora":
+        return lora_lm_loss(trainable, frozen, cfg, batch["text_ids"],
+                            batch["text_mask"])
     raise ValueError(f"unknown stage {stage!r} (expected one of {STAGES})")
 
 
