@@ -209,10 +209,15 @@ def knee_detail(cfg, args, params):
             frames = cfg.duplex.gating.frames_per_step
             chunk = [rng.randn(1, frames, 80).astype(np.float32)
                      for _ in range(streams)]
+            s_chunk = [rng.randn(1, frames, 80).astype(np.float32)
+                       for _ in range(streams)]
 
-            def tick(is_sl):
+            def tick(is_sl, duplex=False):
                 for i in range(streams):
                     engine.submit_chunk(f"s{i}", "user", chunk[i], is_sl=is_sl)
+                    if duplex:
+                        engine.submit_chunk(f"s{i}", "system", s_chunk[i],
+                                            is_sl=is_sl)
                 t = time.perf_counter()
                 engine.tick()
                 return (time.perf_counter() - t) * 1e3
@@ -221,11 +226,22 @@ def knee_detail(cfg, args, params):
             tick(False)  # warmup/compile
             lat = [tick(False) for _ in range(max(5, args.trials))]
             p50 = float(np.median(lat))
+            # full-duplex worst case: every session also has a system chunk
+            # pending (the system is speaking) — ONE fused LLM pass over both
+            # identities' tokens (audio_llm.recognize_step_dual), not two
+            tick(True, duplex=True)  # warmup/compile the dual step
+            lat_d = [tick(False, duplex=True)
+                     for _ in range(max(5, args.trials))]
+            p50_d = float(np.median(lat_d))
             chunk_ms = cfg.duplex.gating.chunk_duration_s * 1e3
             points.append({"streams": streams, "kv_len": kv_len,
                            "tick_p50_ms": round(p50, 1),
-                           "realtime_fraction": round(p50 / chunk_ms, 3)})
-            log(f"knee: {streams} streams -> {p50:.1f} ms tick")
+                           "tick_duplex_p50_ms": round(p50_d, 1),
+                           "realtime_fraction": round(p50 / chunk_ms, 3),
+                           "duplex_realtime_fraction":
+                               round(p50_d / chunk_ms, 3)})
+            log(f"knee: {streams} streams -> {p50:.1f} ms tick, "
+                f"{p50_d:.1f} ms full-duplex tick")
             del engine
             gc.collect()  # drop the dead engine's device caches before the
             # next (larger) allocation

@@ -237,6 +237,74 @@ def recognize_step(
     return probs, caches
 
 
+def recognize_step_dual(
+    params, cfg: AudioLLMConfig,
+    u_chunk: jnp.ndarray, u_sl: jnp.ndarray, u_active: jnp.ndarray,
+    s_chunk: jnp.ndarray, s_sl: jnp.ndarray, s_active: jnp.ndarray,
+    u_prefix: jnp.ndarray, s_prefix: jnp.ndarray,
+    caches: SessionCaches,
+) -> Tuple[jnp.ndarray, SessionCaches]:
+    """Both identities' pending chunks through ONE LLM forward.
+
+    The serving tick used to run recognize_step twice back-to-back (user,
+    then system) — two full passes over the frozen LLM's weights per tick.
+    Both identities append to the SAME session KV row in serialized order, so
+    the two prefills concatenate into one token segment per row:
+
+        [user prefix?; user chunk; system prefix?; system chunk]
+
+    with per-piece validity masks (prefixes gated by is_sl, chunks by
+    active). qwen2.forward's rank/cumsum machinery compacts valid tokens in
+    order, so user tokens land in earlier KV slots and system queries see
+    them while user queries cannot see system tokens — bit-for-bit the
+    serial-order semantics, at HALF the LLM weight reads per tick (decode-
+    shape prefill is HBM-bound; measured in bench.py --mode knee).
+
+    Returns ([B, 3] user state probs — read at the last valid USER position,
+    matching do_prediction for identity='user' (audioLLM.py:393-397) — and
+    updated caches)."""
+    enc_u, enc_su = encoder_mod.stream_step(
+        params["encoder_user"], cfg.encoder, u_chunk, caches.enc_user)
+    emb_u, adp_su = adapter_mod.step(
+        params["adapter_user"], cfg.adapter, enc_u, caches.adp_user)
+    enc_s, enc_ss = encoder_mod.stream_step(
+        params["encoder_system"], cfg.encoder, s_chunk, caches.enc_system)
+    emb_s, adp_ss = adapter_mod.step(
+        params["adapter_system"], cfg.adapter, enc_s, caches.adp_system)
+
+    enc_su = _select_encoder_state(u_active, enc_su, caches.enc_user)
+    adp_su = _select_adapter_state(u_active, adp_su, caches.adp_user)
+    enc_ss = _select_encoder_state(s_active, enc_ss, caches.enc_system)
+    adp_ss = _select_adapter_state(s_active, adp_ss, caches.adp_system)
+
+    B, Tu, D = emb_u.shape
+    Ts = emb_s.shape[1]
+    Pu, Ps = u_prefix.shape[0], s_prefix.shape[0]
+    full = jnp.concatenate([
+        jnp.broadcast_to(u_prefix[None], (B, Pu, D)).astype(emb_u.dtype),
+        emb_u,
+        jnp.broadcast_to(s_prefix[None], (B, Ps, D)).astype(emb_u.dtype),
+        emb_s.astype(emb_u.dtype),
+    ], axis=1)
+    u_act = u_active[:, None]
+    s_act = s_active[:, None]
+    mask = jnp.concatenate([
+        jnp.broadcast_to((u_sl[:, None] & u_act), (B, Pu)),
+        jnp.broadcast_to(u_act, (B, Tu)),
+        jnp.broadcast_to((s_sl[:, None] & s_act), (B, Ps)),
+        jnp.broadcast_to(s_act, (B, Ts)),
+    ], axis=1)
+
+    hidden, kv = qwen2.forward(params["llm"], cfg.llm, full, mask, caches.kv)
+    last_u = jnp.maximum(qwen2.last_valid_index(mask[:, : Pu + Tu]), 0)
+    hidden_last = jnp.take_along_axis(hidden, last_u[:, None, None],
+                                      axis=1)[:, 0]
+    probs = state_head(params, hidden_last)
+    caches = caches._replace(enc_user=enc_su, adp_user=adp_su,
+                             enc_system=enc_ss, adp_system=adp_ss, kv=kv)
+    return probs, caches
+
+
 def generate_step(
     params, cfg: AudioLLMConfig, token: jnp.ndarray, kv: qwen2.KVCache,
     rng, sampling: SamplingConfig,

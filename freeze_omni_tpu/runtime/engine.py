@@ -86,9 +86,20 @@ class ServingEngine:
 
             self._repl_out = jax.jit(lambda t: t,
                                      out_shardings=NamedSharding(mesh, P()))
+        # caches are DONATED: XLA scatters the chunk's KV appends into the
+        # resident cache pool in place instead of allocating a second pool
+        # and copying (~GBs of HBM traffic per tick at 128 sessions). The
+        # engine reassigns store.caches from the step's output immediately,
+        # so the invalidated input is never read again.
         self._recognize = jax.jit(
-            audio_llm.recognize_step, static_argnames=("cfg", "identity"))
-        self._lock = threading.Lock()
+            audio_llm.recognize_step, static_argnames=("cfg", "identity"),
+            donate_argnames=("caches",))
+        # RLock: cache mutation sections nest (e.g. the roll-check callbacks
+        # may re-enter engine methods on the tick thread). Every
+        # read-modify-write of store.caches holds this lock — with donated
+        # step inputs, a concurrent open_session touching the pool mid-
+        # dispatch would otherwise read an invalidated (donated) buffer.
+        self._lock = threading.RLock()
         # pending chunk per (identity, slot): (fbank [1,T,80], is_sl)
         self._pending: Dict[str, Dict[int, Tuple[np.ndarray, bool]]] = {
             i: {} for i in IDENTITIES}
@@ -323,26 +334,24 @@ class ServingEngine:
         if user is not None and system is not None and \
                 user[1].shape == system[1].shape:
             if self._dual is None:
-                def dual(params, u_chunks, u_sl, u_active, s_chunks, s_sl,
-                         s_active, u_prefix, s_prefix, caches):
-                    # user first, then system — same order as the serial path
-                    probs, caches = audio_llm.recognize_step(
-                        params, acfg, "user", u_chunks, u_sl, u_prefix,
-                        caches, active=u_active)
-                    _, caches = audio_llm.recognize_step(
-                        params, acfg, "system", s_chunks, s_sl, s_prefix,
-                        caches, active=s_active)
-                    return probs, caches
-
-                self._dual = jax.jit(dual)
-            with device_span("tick/dual"):
+                # ONE LLM forward for both identities (user tokens first,
+                # same order as the serial path) — halves per-tick weight
+                # reads vs running recognize_step twice
+                self._dual = jax.jit(
+                    lambda params, u_chunks, u_sl, u_active, s_chunks, s_sl,
+                    s_active, u_prefix, s_prefix, caches:
+                    audio_llm.recognize_step_dual(
+                        params, acfg, u_chunks, u_sl, u_active, s_chunks,
+                        s_sl, s_active, u_prefix, s_prefix, caches),
+                    donate_argnames=("caches",))
+            with self._lock, device_span("tick/dual"):
                 probs, caches = self._dual(
                     params, jnp.asarray(user[1]), jnp.asarray(user[3]),
                     jnp.asarray(user[2]), jnp.asarray(system[1]),
                     jnp.asarray(system[3]), jnp.asarray(system[2]),
                     self.core.user_prefix_embeds,
                     self.core.system_prefix_embeds, self.store.caches)
-            self.store.caches = caches
+                self.store.caches = caches
             self._deliver_user(results, user[0], probs)
             return results
 
@@ -352,12 +361,12 @@ class ServingEngine:
             pending, chunks, active, is_sl = batch
             prefix = (self.core.user_prefix_embeds if identity == "user"
                       else self.core.system_prefix_embeds)
-            with device_span(f"tick/{identity}"):
+            with self._lock, device_span(f"tick/{identity}"):
                 probs, caches = self._recognize(
                     params, acfg, identity,
                     jnp.asarray(chunks), jnp.asarray(is_sl), prefix,
                     self.store.caches, active=jnp.asarray(active))
-            self.store.caches = caches
+                self.store.caches = caches
             if identity == "user":
                 self._deliver_user(results, pending, probs)
             elif self._len_host is not None:
@@ -419,11 +428,15 @@ class ServingEngine:
             np.maximum(target - self.store.prefix_len, 16),
             self.cfg.serving.kv_keep_recent).astype(np.int32)
         if self._roll is None:
-            self._roll = jax.jit(qwen2.roll_kv, static_argnames=("cfg",))
-        new_kv = self._roll(self.cfg.audio_llm.llm, self.store.caches.kv,
-                            jnp.asarray(self.store.prefix_len),
-                            jnp.asarray(keep), jnp.asarray(need))
-        self.store.caches = self.store.caches._replace(kv=new_kv)
+            # kv donated: the roll rewrites the pool in place (same shape
+            # in/out) instead of materializing a second full-size pool
+            self._roll = jax.jit(qwen2.roll_kv, static_argnames=("cfg",),
+                                 donate_argnames=("kv",))
+        with self._lock:
+            new_kv = self._roll(self.cfg.audio_llm.llm, self.store.caches.kv,
+                                jnp.asarray(self.store.prefix_len),
+                                jnp.asarray(keep), jnp.asarray(need))
+            self.store.caches = self.store.caches._replace(kv=new_kv)
         # exact post-roll mirror: rolled rows hold prefix + min(keep, len-pfx)
         rolled = self.store.prefix_len + np.minimum(
             keep, lengths - self.store.prefix_len)
@@ -460,12 +473,14 @@ class ServingEngine:
         segments + TTS), scatter the advanced KV back. Returns
         [(sentence_text, pcm16 | None), ...]."""
         self._maybe_roll_kv()  # capacity headroom before appending a response
-        slot = self.store.slot_of(sid)
-        kv = self.store.gather_kv(slot)
+        with self._lock:
+            slot = self.store.slot_of(sid)
+            kv = self.store.gather_kv(slot)  # a copy — generation runs on it
         out = []
         for text, pcm16, kv in responder.respond(kv):
             out.append((text, pcm16))
-        self.store.scatter_kv(slot, kv)
+        with self._lock:
+            self.store.scatter_kv(slot, kv)
         self._len_host = None  # unknown growth: refetch on next roll check
         return out
 
@@ -500,7 +515,8 @@ class ServingEngine:
         slots = [slot for _, slot in pairs]
         n = len(slots)
         B = 1 << (n - 1).bit_length()          # bucket: next power of two
-        kv = self.store.gather_kv_many(slots + [slots[0]] * (B - n))
+        with self._lock:
+            kv = self.store.gather_kv_many(slots + [slots[0]] * (B - n))
         gt = jnp.tile(jnp.asarray(np.array(cfg.tts.codec.global_tokens,
                                            np.int32)[None, None]), (B, 1, 1))
         ids = jnp.tile(jnp.asarray(core.chat.system_prefix_ids)[None], (B, 1))
@@ -518,8 +534,9 @@ class ServingEngine:
                 penalty=cfg.tts.penalty)
         # stays on-device (no host sync); padded rows — and rows whose
         # session closed mid-dispatch — are not written back
-        rows, kept_slots = self._still_current(pairs)
-        self.store.scatter_kv_many(kept_slots, kv, rows=rows)
+        with self._lock:
+            rows, kept_slots = self._still_current(pairs)
+            self.store.scatter_kv_many(kept_slots, kv, rows=rows)
         pcm_np, toks_np, nv, len_np = self._fetch(
             (pcm, toks, n_valid, kv.length))  # ONE sync
         if self._len_host is not None:
@@ -556,7 +573,8 @@ class ServingEngine:
         slots = [slot for _, slot in pairs]
         n = len(slots)
         B = 1 << (n - 1).bit_length()
-        kv = self.store.gather_kv_many(slots + [slots[0]] * (B - n))
+        with self._lock:
+            kv = self.store.gather_kv_many(slots + [slots[0]] * (B - n))
         tok0 = jnp.asarray([last_tokens[s] for s in sids]
                            + [last_tokens[sids[0]]] * (B - n), jnp.int32)
         if self._gen is None:
@@ -569,8 +587,9 @@ class ServingEngine:
                 self.core.params, self.cfg.audio_llm, tok0, kv,
                 rng if rng is not None else self.core.next_key(),
                 self.cfg.sampling, n_steps=n_steps, eod_id=eod)
-        rows, kept_slots = self._still_current(pairs)
-        self.store.scatter_kv_many(kept_slots, kv, rows=rows)
+        with self._lock:
+            rows, kept_slots = self._still_current(pairs)
+            self.store.scatter_kv_many(kept_slots, kv, rows=rows)
         toks_np, hid_np, done_np, len_np = self._fetch(
             (toks, hiddens, done, kv.length))
         if self._len_host is not None:

@@ -27,6 +27,12 @@ def machine_fingerprint() -> str:
     import jax
 
     bits = [jax.__version__, platform.machine()]
+    try:  # a jaxlib swap under the same jax version must not alias
+        import jaxlib
+
+        bits.append(getattr(jaxlib, "__version__", ""))
+    except ImportError:
+        pass
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:

@@ -279,6 +279,60 @@ class TestDualIdentityTick:
             np.asarray(jax.device_get(fused.store.caches.kv.length)),
             fused._len_host)
 
+    def test_fused_tick_mixed_row_activity(self):
+        """The single-LLM-pass dual step (audio_llm.recognize_step_dual) must
+        gate per ROW: in one tick, session A has only a user chunk, B only a
+        system chunk, C both, D nothing — each row must match the same
+        traffic through serial single-identity ticks."""
+        from freeze_omni_tpu.config import tiny_system
+        from freeze_omni_tpu.runtime.engine import ServingEngine
+
+        cfg = tiny_system()
+        cfg = dataclasses.replace(
+            cfg, serving=dataclasses.replace(cfg.serving, max_sessions=4))
+        rs = np.random.RandomState(11)
+        chunks = {k: rs.randn(1, 32, 80).astype(np.float32)
+                  for k in ("au", "bs", "cu", "cs")}
+
+        def build():
+            eng = ServingEngine(cfg, seed=0)
+            for sid in "abcd":
+                eng.open_session(sid)
+            return eng
+
+        fused = build()
+        fused.submit_chunk("a", "user", chunks["au"], is_sl=True)
+        fused.submit_chunk("b", "system", chunks["bs"], is_sl=True)
+        fused.submit_chunk("c", "user", chunks["cu"], is_sl=True)
+        fused.submit_chunk("c", "system", chunks["cs"], is_sl=False)
+        out_f = fused.tick()
+
+        serial = build()
+        serial.submit_chunk("a", "user", chunks["au"], is_sl=True)
+        serial.submit_chunk("c", "user", chunks["cu"], is_sl=True)
+        out_s = serial.tick()
+        serial.submit_chunk("b", "system", chunks["bs"], is_sl=True)
+        serial.submit_chunk("c", "system", chunks["cs"], is_sl=False)
+        serial.tick()
+
+        for sid in ("a", "c"):
+            slot = fused.store.slot_of(sid)
+            pf, ps = out_f["user"][slot], out_s["user"][slot]
+            np.testing.assert_allclose(
+                [pf["state_1"], pf["state_2"]],
+                [ps["state_1"], ps["state_2"]], atol=1e-5)
+        for sid in "abcd":
+            slot = fused.store.slot_of(sid)
+            length = fused.store.kv_length(slot)
+            assert length == serial.store.kv_length(slot), sid
+            # compare VALID slots only: slots >= length (incl. the S-1
+            # scratch slot masked tokens park in, qwen2.forward:160-163)
+            # hold garbage that legitimately differs between the paths
+            np.testing.assert_allclose(
+                np.asarray(fused.store.gather_kv(slot).k)[:, :, :length],
+                np.asarray(serial.store.gather_kv(slot).k)[:, :, :length],
+                atol=1e-5, err_msg=sid)
+
 
 class TestSessionMigration:
     """export_session/import_session: move a live session between engines
