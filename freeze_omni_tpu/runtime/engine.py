@@ -86,19 +86,20 @@ class ServingEngine:
 
             self._repl_out = jax.jit(lambda t: t,
                                      out_shardings=NamedSharding(mesh, P()))
-        # caches are DONATED: XLA scatters the chunk's KV appends into the
-        # resident cache pool in place instead of allocating a second pool
-        # and copying (~GBs of HBM traffic per tick at 128 sessions). The
-        # engine reassigns store.caches from the step's output immediately,
-        # so the invalidated input is never read again.
+        # NOT donated, deliberately: donating the cache pool into the
+        # per-tick step was measured SLOWER on the tunneled device (128
+        # streams, 28L int8: ~310 ms/tick donated vs ~265 ms undonated,
+        # back-to-back A/B) — the donation bookkeeping costs a synchronous
+        # round trip per dispatch that outweighs the pool copy it saves
+        # (~4.6 ms at HBM speed of light). Donation stays on the RARE
+        # pool-rewriting calls where the 2x-pool transient matters
+        # (qwen2.roll_kv below, session.py _set_row/_scatter at open/import).
         self._recognize = jax.jit(
-            audio_llm.recognize_step, static_argnames=("cfg", "identity"),
-            donate_argnames=("caches",))
+            audio_llm.recognize_step, static_argnames=("cfg", "identity"))
         # RLock: cache mutation sections nest (e.g. the roll-check callbacks
         # may re-enter engine methods on the tick thread). Every
-        # read-modify-write of store.caches holds this lock — with donated
-        # step inputs, a concurrent open_session touching the pool mid-
-        # dispatch would otherwise read an invalidated (donated) buffer.
+        # read-modify-write of store.caches holds this lock so a concurrent
+        # open_session never interleaves with a tick's pool swap.
         self._lock = threading.RLock()
         # pending chunk per (identity, slot): (fbank [1,T,80], is_sl)
         self._pending: Dict[str, Dict[int, Tuple[np.ndarray, bool]]] = {
@@ -336,14 +337,14 @@ class ServingEngine:
             if self._dual is None:
                 # ONE LLM forward for both identities (user tokens first,
                 # same order as the serial path) — halves per-tick weight
-                # reads vs running recognize_step twice
+                # reads vs running recognize_step twice. No donation: see
+                # the _recognize comment in __init__.
                 self._dual = jax.jit(
                     lambda params, u_chunks, u_sl, u_active, s_chunks, s_sl,
                     s_active, u_prefix, s_prefix, caches:
                     audio_llm.recognize_step_dual(
                         params, acfg, u_chunks, u_sl, u_active, s_chunks,
-                        s_sl, s_active, u_prefix, s_prefix, caches),
-                    donate_argnames=("caches",))
+                        s_sl, s_active, u_prefix, s_prefix, caches))
             with self._lock, device_span("tick/dual"):
                 probs, caches = self._dual(
                     params, jnp.asarray(user[1]), jnp.asarray(user[3]),

@@ -9,6 +9,7 @@ along a leading axis: a slot allocator maps session ids to rows of a single
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional
 
 import jax
@@ -19,13 +20,41 @@ from ..config import AudioLLMConfig
 from ..models import audio_llm, qwen2
 
 
-def _set_row(tree_new_row, tree_batched, slot: int, batch_axes):
+@functools.partial(jax.jit, static_argnames=("batch_axes",),
+                   donate_argnames=("tree_batched",))
+def _set_row(tree_new_row, tree_batched, slot, batch_axes):
     """Write one row of a batched pytree. batch_axes mirrors the tree with the
-    batch-axis index per leaf."""
+    batch-axis index per leaf (a hashable NamedTuple — static). The batched
+    tree is DONATED: a session open/reset rewrites the resident pool in place
+    instead of materializing a second full-size pool (a ~GB copy + transient
+    2x HBM spike at high session counts). `slot` is traced so every slot
+    shares one compiled program. Callers must immediately replace their
+    reference with the returned tree."""
     return jax.tree.map(
         lambda row, full, ax: jax.lax.dynamic_update_index_in_dim(
             full, row.astype(full.dtype), slot, ax),
         tree_new_row, tree_batched, batch_axes)
+
+
+@jax.jit
+def _scatter_kv_rows(full: qwen2.KVCache, new: qwen2.KVCache,
+                     idx, r) -> qwen2.KVCache:
+    """Write selected rows `r` of a batch-B KVCache `new` into pool slots
+    `idx`. One compiled program instead of the former eager moveaxis/set
+    chain (fewer tunneled dispatches); NOT donated — this runs every tick
+    while any session is speaking (continue_segments), and donating the pool
+    into per-tick dispatches measured slower on the tunneled device (see
+    engine.__init__). `idx` is padded by the caller to a fixed bucket length
+    (duplicate writes carry identical data, so order is irrelevant)."""
+    kv_axes = qwen2.KVCache(k=1, v=1, length=0)
+
+    def put(n, f, ax):
+        take = jnp.take(n, r, axis=ax)
+        moved = jnp.moveaxis(f, ax, 0)
+        moved = moved.at[idx].set(jnp.moveaxis(take, ax, 0).astype(f.dtype))
+        return jnp.moveaxis(moved, 0, ax)
+
+    return jax.tree.map(put, new, full, kv_axes)
 
 
 def session_batch_axes(caches: audio_llm.SessionCaches):
@@ -108,7 +137,8 @@ class SessionStore:
             return jnp.take(leaf, 0, axis=ax) if ax is not None else leaf
 
         row_sq = jax.tree.map(lambda l, a: squeeze(l, a), row, self._axes)
-        self.caches = _set_row(row_sq, self.caches, slot, self._axes)
+        self.caches = _set_row(row_sq, self.caches, jnp.asarray(slot),
+                               self._axes)
 
     def shard(self, mesh) -> None:
         """Place the whole cache tree on a ('data','model') mesh: session rows
@@ -148,7 +178,8 @@ class SessionStore:
             return jnp.take(leaf, 0, axis=ax) if ax is not None else leaf
 
         row_sq = jax.tree.map(squeeze, row, self._axes)
-        self.caches = _set_row(row_sq, self.caches, slot, self._axes)
+        self.caches = _set_row(row_sq, self.caches, jnp.asarray(slot),
+                               self._axes)
 
     def gather_kv(self, slot: int) -> qwen2.KVCache:
         return self.gather_slot(slot).kv
@@ -174,16 +205,12 @@ class SessionStore:
         callers drop rows whose session closed mid-flight."""
         if not slots:
             return
-        idx = np.asarray(slots)
-        r = jnp.asarray(rows if rows is not None else list(range(len(slots))))
-        kv_axes = qwen2.KVCache(k=1, v=1, length=0)
-
-        def put(new, full, ax):
-            take = jnp.take(new, r, axis=ax)
-            moved = jnp.moveaxis(full, ax, 0)
-            moved = moved.at[idx].set(
-                jnp.moveaxis(take, ax, 0).astype(full.dtype))
-            return jnp.moveaxis(moved, 0, ax)
-
-        new_kv = jax.tree.map(put, kv, self.caches.kv, kv_axes)
+        r_list = list(rows if rows is not None else range(len(slots)))
+        # pad idx/r to the kv bucket size so every scatter of a given bucket
+        # shares one compiled program (duplicate writes carry identical data)
+        B = int(kv.k.shape[1])
+        pad = B - len(slots)
+        idx = jnp.asarray(list(slots) + [slots[0]] * pad)
+        r = jnp.asarray(r_list + [r_list[0]] * pad)
+        new_kv = _scatter_kv_rows(self.caches.kv, kv, idx, r)
         self.caches = self.caches._replace(kv=new_kv)

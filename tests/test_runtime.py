@@ -1,5 +1,6 @@
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -29,6 +30,43 @@ class TestSessionStore:
         c = store.alloc("c")
         assert c == a
         assert store.kv_length(c) == 0
+
+    def test_scatter_kv_many_bucket_padding_and_row_selection(self):
+        """scatter_kv_many pads idx/r to the kv bucket size (one compiled
+        program per bucket, duplicate writes carry identical data) and honors
+        `rows` selection — untargeted slots must be untouched, dropped rows
+        must not land anywhere."""
+        cfg = tiny_system()
+        store = SessionStore(cfg.audio_llm, max_sessions=4)
+        for sid in "abcd":
+            store.alloc(sid)
+        before = jax.tree.map(np.asarray, store.caches.kv)
+
+        # batch-4 bucket (pow-2 padded), but only rows 0 and 2 should land,
+        # into slots 3 and 1 respectively
+        rng = np.random.RandomState(0)
+        bucket = jax.tree.map(
+            lambda leaf, ax: jnp.asarray(rng.randn(
+                *(s if i != ax else 4 for i, s in enumerate(leaf.shape))
+            ).astype(np.asarray(leaf).dtype)) if leaf.dtype.kind == "f"
+            else jnp.asarray(rng.randint(
+                0, 7, tuple(s if i != ax else 4
+                            for i, s in enumerate(leaf.shape))
+            ).astype(np.asarray(leaf).dtype)),
+            before, type(before)(k=1, v=1, length=0))
+        store.scatter_kv_many([3, 1], bucket, rows=[0, 2])
+
+        after = jax.tree.map(np.asarray, store.caches.kv)
+        np.testing.assert_array_equal(after.k[:, 3], np.asarray(bucket.k)[:, 0])
+        np.testing.assert_array_equal(after.v[:, 1], np.asarray(bucket.v)[:, 2])
+        assert after.length[3] == np.asarray(bucket.length)[0]
+        assert after.length[1] == np.asarray(bucket.length)[2]
+        for untouched in (0, 2):
+            np.testing.assert_array_equal(after.k[:, untouched],
+                                          before.k[:, untouched])
+            np.testing.assert_array_equal(after.v[:, untouched],
+                                          before.v[:, untouched])
+            assert after.length[untouched] == before.length[untouched]
 
 
 class TestServingEngine:
