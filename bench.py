@@ -225,7 +225,7 @@ def knee_detail(cfg, args, params):
             def measure(duplex):
                 tick(False, duplex=duplex)  # re-warm after any pause
                 lat = [tick(False, duplex=duplex)
-                       for _ in range(max(5, args.trials))]
+                       for _ in range(max(7, args.trials))]
                 return float(np.median(lat))
 
             chunk_ms = cfg.duplex.gating.chunk_duration_s * 1e3
@@ -237,13 +237,19 @@ def knee_detail(cfg, args, params):
             # identities' tokens (audio_llm.recognize_step_dual), not two
             tick(True, duplex=True)  # warmup/compile the dual step
             p50_d = measure(True)
-            # the tunneled device occasionally stalls for seconds at a time
-            # (the documented axon hazard, see _device_probe); a stall inside
-            # one measurement window poisons that point's median. Re-measure
-            # ONCE when a window is implausible — user-only over budget, or
-            # duplex more than 2.5x user-only (two identities share one LLM
-            # pass, so >2.5x cannot be compute) — and keep the better median.
-            if p50 > chunk_ms:
+            # the tunneled device sporadically stalls for seconds at a time
+            # (the documented axon hazard, see _device_probe); a sustained
+            # episode inside one measurement window poisons that point's
+            # median. Re-measure ONCE when a window is implausible — and keep
+            # the better median. Implausible = user-only over budget, or
+            # super-linear scaling vs the previous (smaller) point (doubling
+            # the batch cannot more-than-double a tick: compute scales <= 2x
+            # and dispatch overhead is constant), or duplex more than 2.5x
+            # user-only (both identities share ONE LLM pass).
+            prev = points[-1] if points and "tick_p50_ms" in points[-1] \
+                else None
+            if p50 > chunk_ms or (
+                    prev is not None and p50 > 2.2 * prev["tick_p50_ms"]):
                 p50 = min(p50, measure(False))
             if p50_d > 2.5 * p50:
                 p50_d = min(p50_d, measure(True))
@@ -546,7 +552,10 @@ def main():
                    help="LLM layer count (flagship Qwen2-7B = 28, the default;"
                         " int8 weight-only puts the full model at 7.1 GiB on "
                         "the 16 GB v5e chip)")
-    p.add_argument("--trials", type=int, default=5)
+    p.add_argument("--trials", type=int, default=7,
+                   help="timed trials per metric; medians are reported. 7 "
+                        "keeps one sporadic tunnel stall (documented axon "
+                        "hazard) from tipping a median")
     p.add_argument("--sentence_tokens", type=int, default=8,
                    help="text tokens before first sentence boundary")
     p.add_argument("--preset", default="bench", choices=["bench", "tiny"])
