@@ -177,6 +177,29 @@ class Server:
         else:
             self.cfg = base_cfg or (tiny_system() if args.preset == "tiny"
                                     else flagship_system())
+            if args.preset == "flagship":
+                # weightless full-scale serving (random params, e.g. a scale
+                # smoke on real hardware): letting the engine random-init the
+                # LLM in bf16 OOMs a 16 GB chip (13.2 GiB weights + KV pool +
+                # init transients — observed RESOURCE_EXHAUSTED at store
+                # init). Materialize the tree quantize-at-init instead, the
+                # same path bench.py serves from; --quant 0 opts out (needs
+                # --tp 2+).
+                import jax
+                import jax.numpy as jnp
+
+                from ..models import audio_llm as _al
+
+                quant = 8 if args.quant is None else args.quant
+                self._ckpt_params = _al.init_params(
+                    jax.random.PRNGKey(args.seed), self.cfg.audio_llm,
+                    llm_dtype=jnp.bfloat16, quantize_llm=bool(quant),
+                    quant_bits=quant or 8)
+                self._ckpt_params = _al.cast_frontend(self._ckpt_params,
+                                                      jnp.bfloat16)
+                print(f"weightless flagship: random params, "
+                      f"{'int%d weight-only' % quant if quant else 'bf16'} "
+                      f"LLM", flush=True)
         if base_cfg is not None and self.cfg is not base_cfg:
             # checkpoint path set the architecture; the app YAML still governs
             # runtime behavior (VAD/gating cadence, sampling, thresholds)

@@ -86,14 +86,16 @@ class ServingEngine:
 
             self._repl_out = jax.jit(lambda t: t,
                                      out_shardings=NamedSharding(mesh, P()))
-        # NOT donated, deliberately: donating the cache pool into the
-        # per-tick step was measured SLOWER on the tunneled device (128
-        # streams, 28L int8: ~310 ms/tick donated vs ~265 ms undonated,
-        # back-to-back A/B) — the donation bookkeeping costs a synchronous
-        # round trip per dispatch that outweighs the pool copy it saves
-        # (~4.6 ms at HBM speed of light). Donation stays on the RARE
-        # pool-rewriting calls where the 2x-pool transient matters
-        # (qwen2.roll_kv below, session.py _set_row/_scatter at open/import).
+        # No donation ANYWHERE the session pool flows, deliberately. Two
+        # independent reasons, both measured: (1) donating the pool into the
+        # per-tick step was SLOWER through the tunneled device (128 streams,
+        # 28L int8: ~310 ms/tick donated vs ~265 ms undonated, back-to-back
+        # A/B) — the donation bookkeeping costs more than the ~4.6 ms pool
+        # copy it saves; (2) the engine is multithreaded and read-only pool
+        # references legitimately escape the lock (tick's post-step length
+        # fetch, export_session) — donating from a concurrent open_session
+        # or roll deleted a buffer mid-fetch ('Array has been deleted'
+        # ticker crashes under an 8-client load test).
         self._recognize = jax.jit(
             audio_llm.recognize_step, static_argnames=("cfg", "identity"))
         # RLock: cache mutation sections nest (e.g. the roll-check callbacks
@@ -429,10 +431,12 @@ class ServingEngine:
             np.maximum(target - self.store.prefix_len, 16),
             self.cfg.serving.kv_keep_recent).astype(np.int32)
         if self._roll is None:
-            # kv donated: the roll rewrites the pool in place (same shape
-            # in/out) instead of materializing a second full-size pool
-            self._roll = jax.jit(qwen2.roll_kv, static_argnames=("cfg",),
-                                 donate_argnames=("kv",))
+            # NOT donated: another thread may hold a read-only snapshot of
+            # the pool it grabbed outside the lock (tick's post-step length
+            # fetch, export_session) — donation deletes the buffer under it
+            # ('Array has been deleted' crashes, see session._set_row). The
+            # transient second pool during a roll is the accepted cost.
+            self._roll = jax.jit(qwen2.roll_kv, static_argnames=("cfg",))
         with self._lock:
             new_kv = self._roll(self.cfg.audio_llm.llm, self.store.caches.kv,
                                 jnp.asarray(self.store.prefix_len),

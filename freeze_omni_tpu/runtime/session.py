@@ -20,16 +20,19 @@ from ..config import AudioLLMConfig
 from ..models import audio_llm, qwen2
 
 
-@functools.partial(jax.jit, static_argnames=("batch_axes",),
-                   donate_argnames=("tree_batched",))
+@functools.partial(jax.jit, static_argnames=("batch_axes",))
 def _set_row(tree_new_row, tree_batched, slot, batch_axes):
     """Write one row of a batched pytree. batch_axes mirrors the tree with the
-    batch-axis index per leaf (a hashable NamedTuple — static). The batched
-    tree is DONATED: a session open/reset rewrites the resident pool in place
-    instead of materializing a second full-size pool (a ~GB copy + transient
-    2x HBM spike at high session counts). `slot` is traced so every slot
-    shares one compiled program. Callers must immediately replace their
-    reference with the returned tree."""
+    batch-axis index per leaf (a hashable NamedTuple — static). `slot` is
+    traced so every slot shares one compiled program.
+
+    NOT donated, deliberately: the engine is multithreaded (websocket opens,
+    responder threads, the tick thread) and references to the current pool
+    legitimately escape the lock as read-only snapshots (e.g. tick's
+    post-step kv.length fetch). Donating here deleted a buffer another
+    thread was fetching — observed as 'Array has been deleted' ticker
+    crashes under an 8-client load test. The copy this costs is ~4.6 ms at
+    HBM speed of light and only runs at session open/reset/import."""
     return jax.tree.map(
         lambda row, full, ax: jax.lax.dynamic_update_index_in_dim(
             full, row.astype(full.dtype), slot, ax),
