@@ -884,15 +884,30 @@ def main():
                       "--warm-child", "--no-warm-probe", "--no-knee"]
         if not args.quant:
             child_args.append("--no-quant")
-        try:
-            proc = subprocess.run(child_args, capture_output=True, text=True,
-                                  timeout=1800, cwd=os.path.dirname(
-                                      os.path.abspath(__file__)))
-            line = [l for l in proc.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            cold_warm.update(json.loads(line))
-        except Exception as e:
-            cold_warm["warm_probe_error"] = f"{type(e).__name__}: {e}"
+        # one retry: the axon tunnel sporadically hangs (~3x/12h documented)
+        # and the child fail-fasts with its own error artifact line — a
+        # single transient must not cost the round its warm numbers. A child
+        # error line is an {"metric": "error", ...} object; merging it raw
+        # would pollute cold_warm with artifact keys, so route it to
+        # warm_probe_error instead.
+        for attempt in (0, 1):
+            try:
+                proc = subprocess.run(
+                    child_args, capture_output=True, text=True, timeout=1800,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                line = [l for l in proc.stdout.splitlines()
+                        if l.startswith("{")][-1]
+                res = json.loads(line)
+                if "warm_ready_s" not in res:
+                    raise RuntimeError(res.get("detail", {}).get(
+                        "error", "child emitted no warm numbers"))
+                cold_warm.update(res)
+                cold_warm.pop("warm_probe_error", None)
+                break
+            except Exception as e:
+                cold_warm["warm_probe_error"] = f"{type(e).__name__}: {e}"
+                if attempt == 0:
+                    log(f"warm probe failed ({e}); retrying once...")
 
     print(json.dumps({
         "metric": "p50_speech_to_first_audio",
