@@ -248,17 +248,27 @@ def knee_detail(cfg, args, params):
             # user-only (both identities share ONE LLM pass).
             prev = points[-1] if points and "tick_p50_ms" in points[-1] \
                 else None
+            remeasured = {}
             if p50 > chunk_ms or (
                     prev is not None and p50 > 2.2 * prev["tick_p50_ms"]):
-                p50 = min(p50, measure(False))
+                second = measure(False)
+                remeasured["user"] = [round(p50, 1), round(second, 1)]
+                p50 = min(p50, second)
             if p50_d > 2.5 * p50:
-                p50_d = min(p50_d, measure(True))
-            points.append({"streams": streams, "kv_len": kv_len,
-                           "tick_p50_ms": round(p50, 1),
-                           "tick_duplex_p50_ms": round(p50_d, 1),
-                           "realtime_fraction": round(p50 / chunk_ms, 3),
-                           "duplex_realtime_fraction":
-                               round(p50_d / chunk_ms, 3)})
+                second = measure(True)
+                remeasured["duplex"] = [round(p50_d, 1), round(second, 1)]
+                p50_d = min(p50_d, second)
+            point = {"streams": streams, "kv_len": kv_len,
+                     "tick_p50_ms": round(p50, 1),
+                     "tick_duplex_p50_ms": round(p50_d, 1),
+                     "realtime_fraction": round(p50 / chunk_ms, 3),
+                     "duplex_realtime_fraction": round(p50_d / chunk_ms, 3)}
+            if remeasured:
+                # a genuinely slow regime that trips the plausibility
+                # heuristic must stay visible in the artifact (ADVICE r3):
+                # both medians are recorded, the point reports the min
+                point["remeasured"] = remeasured
+            points.append(point)
             log(f"knee: {streams} streams -> {p50:.1f} ms tick, "
                 f"{p50_d:.1f} ms full-duplex tick")
             del engine

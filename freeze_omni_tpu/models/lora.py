@@ -89,25 +89,34 @@ def merge(llm_params: dict, lora: Dict[str, dict], scale: float = 1.0) -> dict:
     (inputs unmodified). Dense leaves gain the delta in their own dtype;
     quantized leaves (int8 {"w_q","scale"} / int4 {"w_q4","scale4"}) are
     dequantized, merged in f32, and requantized with fresh scales — so a
-    convert-then-quantize serving checkpoint can still take an adapter."""
+    convert-then-quantize serving checkpoint can still take an adapter.
+
+    Runs layer-by-layer (lax.map over the stacked L axis) so the f32
+    transient is ONE layer's [in, out] (~270 MB for 7B ffn projections), not
+    the full [L, in, out] stack (~7.6 GiB, which OOMed the 16 GB chip the
+    quantized serving path exists for — ADVICE r3)."""
     from ..ops import quant
 
     layers = dict(llm_params["layers"])
     for name, pair in lora.items():
-        d = jnp.einsum("lir,lro->lio",
-                       pair["a"].astype(jnp.float32),
-                       pair["b"].astype(jnp.float32)) * scale
         p = layers[name]
-        if "w_q4" in p:
-            w = quant.dequantize_weight_int4(p, dtype=jnp.float32) + d
-            group = (2 * p["w_q4"].shape[-2]) // p["scale4"].shape[-2]
-            newp = quant.quantize_linear_int4({"w": w}, group=group)
-        elif "w_q" in p:
-            w = (p["w_q"].astype(jnp.float32)
-                 * p["scale"][..., None, :].astype(jnp.float32)) + d
-            newp = quant.quantize_linear({"w": w})
-        else:
-            newp = {"w": (p["w"].astype(jnp.float32) + d).astype(p["w"].dtype)}
+        weight_keys = [k for k in p if k != "b"]
+
+        def one_layer(xs):
+            a, b, pl = xs
+            d = (a.astype(jnp.float32) @ b.astype(jnp.float32)) * scale
+            if "w_q4" in pl:
+                group = (2 * pl["w_q4"].shape[-2]) // pl["scale4"].shape[-2]
+                w = quant.dequantize_weight_int4(pl, dtype=jnp.float32) + d
+                return quant.quantize_linear_int4({"w": w}, group=group)
+            if "w_q" in pl:
+                w = (pl["w_q"].astype(jnp.float32)
+                     * pl["scale"][..., None, :].astype(jnp.float32)) + d
+                return quant.quantize_linear({"w": w})
+            return {"w": (pl["w"].astype(jnp.float32) + d).astype(pl["w"].dtype)}
+
+        stacked = {k: p[k] for k in weight_keys}
+        newp = jax.lax.map(one_layer, (pair["a"], pair["b"], stacked))
         if "b" in p:
             newp["b"] = p["b"]
         layers[name] = newp

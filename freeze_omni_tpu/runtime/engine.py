@@ -372,14 +372,17 @@ class ServingEngine:
                 self.store.caches = caches
             if identity == "user":
                 self._deliver_user(results, pending, probs)
-            elif self._len_host is not None:
-                # fire-and-forget step: advance the mirror by a conservative
-                # bound (overestimates only ever roll a session a bit early)
-                self._len_host = np.where(
-                    active, np.minimum(
-                        self._len_host + self._step_append_bound,
-                        self.store.caches.kv.k.shape[2]),
-                    self._len_host).astype(np.int32)
+            else:
+                with self._lock:  # mirror is shared across threads (ADVICE r3)
+                    if self._len_host is not None:
+                        # fire-and-forget step: advance the mirror by a
+                        # conservative bound (overestimates only ever roll a
+                        # session a bit early)
+                        self._len_host = np.where(
+                            active, np.minimum(
+                                self._len_host + self._step_append_bound,
+                                self.store.kv_capacity),
+                            self._len_host).astype(np.int32)
         return results
 
     def _fetch(self, tree):
@@ -392,7 +395,8 @@ class ServingEngine:
         """Sync user predictions (refreshing the KV-length mirror on the same
         transfer) and fire callbacks."""
         probs, len_np = self._fetch((probs, self.store.caches.kv.length))
-        self._len_host = np.asarray(len_np).copy()
+        with self._lock:  # mirror is shared across threads (ADVICE r3)
+            self._len_host = np.asarray(len_np).copy()
         out = {}
         for slot in pending:
             pred = {"state_1": float(probs[slot, 1]),
@@ -413,14 +417,19 @@ class ServingEngine:
         a chunk prefill or assistant prefix + generated response tokens)."""
         # the margin is a safety floor, not a feature toggle: without it,
         # sessions exceed qwen2.forward's length+n_new <= S-1 invariant and
-        # scatter writes silently drop (garbage attention). Clamp to cover
-        # the largest appendage between checks.
-        margin = max(self.cfg.serving.kv_margin, 64)
-        cap = self.store.caches.kv.k.shape[2]
-        if self._len_host is None:  # first use: one authoritative fetch
-            self._len_host = np.asarray(
-                self._fetch(self.store.caches.kv.length)).copy()
-        lengths = self._len_host
+        # scatter writes silently drop (garbage attention). The floor tracks
+        # the actual worst-case single-tick appendage: the fused dual tick
+        # appends BOTH identities' prefixes+chunks in one step (ADVICE r3 —
+        # a static 64 under-covered non-default configs).
+        margin = max(self.cfg.serving.kv_margin,
+                     2 * self._step_append_bound, 64)
+        cap = self.store.kv_capacity
+        with self._lock:  # None-check + read must be atomic (ADVICE r3:
+            # respond() nulls the mirror from the responder thread)
+            if self._len_host is None:  # first use: one authoritative fetch
+                self._len_host = np.asarray(
+                    self._fetch(self.store.caches.kv.length)).copy()
+            lengths = self._len_host.copy()
         need = lengths > cap - margin
         if not need.any():
             return
@@ -445,7 +454,8 @@ class ServingEngine:
         # exact post-roll mirror: rolled rows hold prefix + min(keep, len-pfx)
         rolled = self.store.prefix_len + np.minimum(
             keep, lengths - self.store.prefix_len)
-        self._len_host = np.where(need, rolled, lengths).astype(np.int32)
+        with self._lock:
+            self._len_host = np.where(need, rolled, lengths).astype(np.int32)
         for slot in np.nonzero(need)[0]:
             cb = self._callbacks.get(int(slot))
             if cb is not None:
@@ -486,7 +496,7 @@ class ServingEngine:
             out.append((text, pcm16))
         with self._lock:
             self.store.scatter_kv(slot, kv)
-        self._len_host = None  # unknown growth: refetch on next roll check
+            self._len_host = None  # unknown growth: refetch on next roll check
         return out
 
     def respond_fast(self, sid: str, tts_params: dict, n_text: int = 8,
@@ -544,9 +554,10 @@ class ServingEngine:
             self.store.scatter_kv_many(kept_slots, kv, rows=rows)
         pcm_np, toks_np, nv, len_np = self._fetch(
             (pcm, toks, n_valid, kv.length))  # ONE sync
-        if self._len_host is not None:
-            for i, slot in zip(rows, kept_slots):
-                self._len_host[slot] = len_np[i]
+        with self._lock:  # mirror is shared across threads (ADVICE r3)
+            if self._len_host is not None:
+                for i, slot in zip(rows, kept_slots):
+                    self._len_host[slot] = len_np[i]
         out = {}
         for i, sid in enumerate(sids):
             # reference emission semantics (llm2tts.py:140-160): an eos inside
@@ -597,9 +608,10 @@ class ServingEngine:
             self.store.scatter_kv_many(kept_slots, kv, rows=rows)
         toks_np, hid_np, done_np, len_np = self._fetch(
             (toks, hiddens, done, kv.length))
-        if self._len_host is not None:
-            for i, slot in zip(rows, kept_slots):
-                self._len_host[slot] = len_np[i]
+        with self._lock:  # mirror is shared across threads (ADVICE r3)
+            if self._len_host is not None:
+                for i, slot in zip(rows, kept_slots):
+                    self._len_host[slot] = len_np[i]
         hid_np = np.asarray(hid_np, np.float32)
         out = {}
         for i, sid in enumerate(sids):

@@ -165,6 +165,12 @@ class SessionStore:
     def kv_length(self, slot: int) -> int:
         return int(np.asarray(self.caches.kv.length)[slot])
 
+    @property
+    def kv_capacity(self) -> int:
+        """Max KV slots per session (the S of the batched [L, B, S, ...]
+        cache; leaf-agnostic so a quantized cache reports the same S)."""
+        return int(jax.tree.leaves(self.caches.kv.k)[0].shape[2])
+
     def gather_slot(self, slot: int) -> audio_llm.SessionCaches:
         """Extract one session's caches as a batch-1 pytree (for per-session
         work like response generation)."""

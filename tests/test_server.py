@@ -24,7 +24,20 @@ def test_server_session_over_websocket(unused_port=8971):
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
-    time.sleep(1.0)
+
+    async def connect_with_retry(url, deadline_s=60.0):
+        """Deterministic readiness: retry until the server accepts, instead
+        of a fixed sleep (the engine boot time varies under suite load)."""
+        import websockets
+
+        deadline = time.time() + deadline_s
+        while True:
+            try:
+                return await websockets.connect(url, open_timeout=10)
+            except OSError:
+                if time.time() > deadline:
+                    raise
+                await asyncio.sleep(0.25)
 
     async def client():
         import websockets
@@ -40,8 +53,8 @@ def test_server_session_over_websocket(unused_port=8971):
                 (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()).decode()
 
         events = []
-        async with websockets.connect(
-                f"ws://127.0.0.1:{unused_port}", open_timeout=30) as ws:
+        async with await connect_with_retry(
+                f"ws://127.0.0.1:{unused_port}") as ws:
             await ws.send(json.dumps({"type": "start_session", "sid": "t1"}))
             while True:
                 msg = json.loads(await asyncio.wait_for(ws.recv(), 60))
@@ -62,10 +75,20 @@ def test_server_session_over_websocket(unused_port=8971):
                 if "dialog_state_update" in names and any(
                         e.get("status") == "ipu_el" for e in events):
                     break
-            # probe: malformed message type
+            # probe: malformed message type. Queued vad/dialog events for
+            # the remaining audio may still be streaming in — scan for the
+            # error reply with a deadline instead of asserting on whatever
+            # message happens to arrive next (flaked under full-suite load)
             await ws.send(json.dumps({"type": "bogus"}))
-            msg = json.loads(await asyncio.wait_for(ws.recv(), 10))
-            events.append(msg)
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                try:
+                    msg = json.loads(await asyncio.wait_for(ws.recv(), 5))
+                except asyncio.TimeoutError:
+                    continue
+                events.append(msg)
+                if msg["event"] == "error":
+                    break
             await ws.send(json.dumps({"type": "stop"}))
         return events
 
