@@ -177,6 +177,13 @@ def prefill_detail(cfg, args, params):
     }
 
 
+def _best_rtf(point: dict, prefix: str) -> float:
+    """Realtime fraction of a knee point in the PRODUCTION serving mode
+    (pipelined double-buffered dispatch when measured, else synchronous)."""
+    return point.get(f"{prefix}pipelined_realtime_fraction",
+                     point.get(f"{prefix}realtime_fraction", 9))
+
+
 def knee_detail(cfg, args, params):
     """Stream-count knee: batched tick p50 vs session count until the tick
     approaches the 224 ms chunk budget (VERDICT r2 #5 — the '8+ streams'
@@ -212,12 +219,15 @@ def knee_detail(cfg, args, params):
             s_chunk = [rng.randn(1, frames, 80).astype(np.float32)
                        for _ in range(streams)]
 
-            def tick(is_sl, duplex=False):
+            def submit(is_sl, duplex):
                 for i in range(streams):
                     engine.submit_chunk(f"s{i}", "user", chunk[i], is_sl=is_sl)
                     if duplex:
                         engine.submit_chunk(f"s{i}", "system", s_chunk[i],
                                             is_sl=is_sl)
+
+            def tick(is_sl, duplex=False):
+                submit(is_sl, duplex)
                 t = time.perf_counter()
                 engine.tick()
                 return (time.perf_counter() - t) * 1e3
@@ -227,6 +237,25 @@ def knee_detail(cfg, args, params):
                 lat = [tick(False, duplex=duplex)
                        for _ in range(max(7, args.trials))]
                 return float(np.median(lat))
+
+            def measure_pipelined(duplex):
+                """Sustained per-tick cost with double-buffered dispatch
+                (tick N+1 enqueued before N's predictions are fetched —
+                the production serving mode, cfg.serving.pipeline_ticks):
+                total wall over N ticks / N, so the tunnel round trip hides
+                behind device compute instead of adding to every tick."""
+                n = max(12, 2 * args.trials)
+                submit(False, duplex)
+                prev = engine.tick_submit()  # prime the pipeline
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    submit(False, duplex)
+                    h = engine.tick_submit()
+                    prev.deliver()
+                    prev = h
+                total = time.perf_counter() - t0
+                prev.deliver()
+                return total * 1e3 / n
 
             chunk_ms = cfg.duplex.gating.chunk_duration_s * 1e3
             tick(True)
@@ -258,23 +287,45 @@ def knee_detail(cfg, args, params):
                 second = measure(True)
                 remeasured["duplex"] = [round(p50_d, 1), round(second, 1)]
                 p50_d = min(p50_d, second)
+            # production mode: double-buffered dispatch (engine.tick_submit)
+            pip = measure_pipelined(False)
+            pip_d = measure_pipelined(True)
+            # a tunnel stall inside the sustained window inflates the mean;
+            # pipelined cannot genuinely exceed the synchronous median —
+            # re-measure once, keeping both values visible
+            if pip > 1.1 * p50:
+                second = measure_pipelined(False)
+                remeasured["user_pipelined"] = [round(pip, 1),
+                                                round(second, 1)]
+                pip = min(pip, second)
+            if pip_d > 1.1 * p50_d:
+                second = measure_pipelined(True)
+                remeasured["duplex_pipelined"] = [round(pip_d, 1),
+                                                  round(second, 1)]
+                pip_d = min(pip_d, second)
             point = {"streams": streams, "kv_len": kv_len,
                      "tick_p50_ms": round(p50, 1),
                      "tick_duplex_p50_ms": round(p50_d, 1),
+                     "tick_pipelined_ms": round(pip, 1),
+                     "tick_duplex_pipelined_ms": round(pip_d, 1),
                      "realtime_fraction": round(p50 / chunk_ms, 3),
-                     "duplex_realtime_fraction": round(p50_d / chunk_ms, 3)}
+                     "duplex_realtime_fraction": round(p50_d / chunk_ms, 3),
+                     "pipelined_realtime_fraction": round(pip / chunk_ms, 3),
+                     "duplex_pipelined_realtime_fraction":
+                         round(pip_d / chunk_ms, 3)}
             if remeasured:
                 # a genuinely slow regime that trips the plausibility
                 # heuristic must stay visible in the artifact (ADVICE r3):
                 # both medians are recorded, the point reports the min
                 point["remeasured"] = remeasured
             points.append(point)
-            log(f"knee: {streams} streams -> {p50:.1f} ms tick, "
-                f"{p50_d:.1f} ms full-duplex tick")
+            log(f"knee: {streams} streams -> {p50:.1f} ms tick "
+                f"({pip:.1f} pipelined), {p50_d:.1f} ms full-duplex "
+                f"({pip_d:.1f} pipelined)")
             del engine
             gc.collect()  # drop the dead engine's device caches before the
             # next (larger) allocation
-            if p50 > chunk_ms:
+            if min(p50, pip) > chunk_ms:
                 break
         except Exception as e:  # OOM at the top counts is a finding, not a crash
             log(f"knee: {streams} streams failed: {type(e).__name__}")
@@ -650,14 +701,14 @@ def main():
         points = knee_detail(cfg, args, params)
         print(json.dumps({"metric": "max_realtime_streams",
                           "value": max((p["streams"] for p in points
-                                        if p.get("realtime_fraction", 9) <= 1),
+                                        if _best_rtf(p, "") <= 1),
                                        default=0),
                           "unit": "streams", "vs_baseline": None,
                           "detail": {"knee": points,
                                      "max_duplex_realtime_streams": max(
                                          (p["streams"] for p in points
-                                          if p.get("duplex_realtime_fraction",
-                                                   9) <= 1), default=0)}}))
+                                          if _best_rtf(p, "duplex_") <= 1),
+                                         default=0)}}))
         return
     # the latency bench only exercises the user identity: alias the system
     # copies (immutable arrays -> no extra HBM)
@@ -939,7 +990,7 @@ def main():
             "knee": knee,
             "max_duplex_realtime_streams": None if knee is None else max(
                 (p["streams"] for p in knee
-                 if p.get("duplex_realtime_fraction", 9) <= 1), default=0),
+                 if _best_rtf(p, "duplex_") <= 1), default=0),
             "cold_warm": cold_warm,
             "note": "vs_baseline = ours/reference (<1 is faster), reported "
                     "only at the full 28-layer Qwen2-7B depth; fused = "

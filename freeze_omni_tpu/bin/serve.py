@@ -53,6 +53,16 @@ def get_args(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--max_sessions", type=int, default=8)
+    p.add_argument("--pipeline_ticks", action="store_true",
+                   help="double-buffered serving: dispatch tick N+1 before "
+                        "fetching tick N's predictions (hides the per-tick "
+                        "dispatch round trip; decisions run one 224 ms tick "
+                        "late). The high-capacity production mode.")
+    p.add_argument("--kv_quant", type=int, default=0, choices=[0, 8],
+                   help="int8-quantize the per-session LLM KV cache "
+                        "(per-token-per-head scales): halves KV HBM, "
+                        "doubling the context length that fits at high "
+                        "stream counts")
     p.add_argument("--voice_wav", default=None,
                    help="voice prompt: reference wav whose TiCodec global "
                         "style tokens condition all synthesized speech")
@@ -266,7 +276,9 @@ class Server:
             from ..runtime.service import DuplexService
 
             cfg = _dc.replace(self.cfg, serving=_dc.replace(
-                self.cfg.serving, max_sessions=args.max_sessions))
+                self.cfg.serving, max_sessions=args.max_sessions,
+                pipeline_ticks=bool(args.pipeline_ticks),
+                kv_quant_bits=args.kv_quant or None))
             self.cfg = cfg
             svc_tts = None
             if args.respond:

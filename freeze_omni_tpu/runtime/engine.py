@@ -28,6 +28,30 @@ from .session import SessionStore
 IDENTITIES = ("user", "system")
 
 
+class PendingTick:
+    """Handle for a dispatched-but-undelivered serving tick.
+
+    `deliver()` blocks until the user state predictions are on host, fires
+    per-session callbacks, and returns the tick's results dict. Ticks with no
+    user work deliver an empty dict without touching the device. Safe to
+    deliver at most once; a second call returns {}."""
+
+    __slots__ = ("_engine", "_pending", "_probs")
+
+    def __init__(self, engine: "ServingEngine", pending, probs):
+        self._engine = engine
+        self._pending = pending
+        self._probs = probs
+
+    def deliver(self) -> Dict[str, Dict[int, dict]]:
+        results: Dict[str, Dict[int, dict]] = {}
+        pending, self._pending = self._pending, None
+        probs, self._probs = self._probs, None
+        if pending:
+            self._engine._deliver_user(results, pending, probs)
+        return results
+
+
 class ServingEngine:
     def __init__(self, cfg: SystemConfig, params: Optional[dict] = None,
                  tokenizer=None, seed: int = 0, kv_dtype=jnp.float32,
@@ -323,16 +347,33 @@ class ServingEngine:
         return pending, chunks, active, is_sl
 
     def tick(self) -> Dict[str, Dict[int, dict]]:
-        """Run the pending work of both identities — fused into ONE device
-        dispatch when both have chunks (each dispatch through the tunneled
-        chip costs ~55 ms; compute per tick is ~15 ms). Returns
+        """Run the pending work of both identities and deliver predictions
+        (dispatch + blocking fetch). Returns
         {identity: {slot: {'state_1','state_2'}}} for user predictions."""
-        results: Dict[str, Dict[int, dict]] = {}
+        return self.tick_submit().deliver()
+
+    def tick_submit(self) -> "PendingTick":
+        """Dispatch the pending work of both identities WITHOUT waiting for
+        the results — fused into ONE device step when both have chunks. The
+        returned handle's `deliver()` blocks until the user predictions are
+        on host and fires callbacks.
+
+        This is the double-buffered serving path (VERDICT r3 #1): the tick
+        thread enqueues tick N+1 while N still executes, so the sustained
+        tick cost is max(device compute, host work) instead of
+        dispatch latency + compute + fetch latency (~34-55 ms of tunnel round
+        trip per tick, bench.py `prefill.dispatch_overhead_ms`). The KV-length
+        mirror is advanced EXACTLY at submit time — the appendage per row is
+        known host-side (chunk tokens + prefix when is_sl) — so delivery
+        needs no device length fetch and a late deliver can never let the
+        roll check run on stale lengths."""
         self._maybe_roll_kv()
         user = self._gather_pending("user")
         system = self._gather_pending("system")
         acfg = self.cfg.audio_llm
         params = self.core.params
+        p_user = int(self.core.user_prefix_embeds.shape[0])
+        p_system = int(self.core.system_prefix_embeds.shape[0])
 
         if user is not None and system is not None and \
                 user[1].shape == system[1].shape:
@@ -355,9 +396,13 @@ class ServingEngine:
                     self.core.user_prefix_embeds,
                     self.core.system_prefix_embeds, self.store.caches)
                 self.store.caches = caches
-            self._deliver_user(results, user[0], probs)
-            return results
+            self._advance_mirror(user[2], user[3], p_user,
+                                 audio_llm.chunk_tokens(user[1].shape[1]))
+            self._advance_mirror(system[2], system[3], p_system,
+                                 audio_llm.chunk_tokens(system[1].shape[1]))
+            return PendingTick(self, user[0], probs)
 
+        user_pending, user_probs = None, None
         for identity, batch in (("user", user), ("system", system)):
             if batch is None:
                 continue
@@ -370,20 +415,28 @@ class ServingEngine:
                     jnp.asarray(chunks), jnp.asarray(is_sl), prefix,
                     self.store.caches, active=jnp.asarray(active))
                 self.store.caches = caches
+            self._advance_mirror(
+                active, is_sl, p_user if identity == "user" else p_system,
+                audio_llm.chunk_tokens(chunks.shape[1]))
             if identity == "user":
-                self._deliver_user(results, pending, probs)
-            else:
-                with self._lock:  # mirror is shared across threads (ADVICE r3)
-                    if self._len_host is not None:
-                        # fire-and-forget step: advance the mirror by a
-                        # conservative bound (overestimates only ever roll a
-                        # session a bit early)
-                        self._len_host = np.where(
-                            active, np.minimum(
-                                self._len_host + self._step_append_bound,
-                                self.store.kv_capacity),
-                            self._len_host).astype(np.int32)
-        return results
+                user_pending, user_probs = pending, probs
+        return PendingTick(self, user_pending, user_probs)
+
+    def _advance_mirror(self, active, is_sl, prefix_tokens: int,
+                        chunk_toks: int) -> None:
+        """Advance the host KV-length mirror by the EXACT appendage of one
+        dispatched recognize step: active rows gain the chunk's adapter
+        tokens plus the chat prefix when the chunk starts an IPU — the same
+        arithmetic as qwen2.forward's n_new (mask sum)."""
+        with self._lock:
+            if self._len_host is None:
+                return  # no mirror yet: first roll check will fetch
+            add = np.where(active,
+                           chunk_toks + prefix_tokens * np.asarray(is_sl, int),
+                           0)
+            self._len_host = np.minimum(
+                self._len_host + add,
+                self.store.kv_capacity).astype(np.int32)
 
     def _fetch(self, tree):
         """device_get that works on multi-host meshes (see _repl_out)."""
@@ -392,11 +445,11 @@ class ServingEngine:
         return jax.device_get(tree)
 
     def _deliver_user(self, results, pending, probs):
-        """Sync user predictions (refreshing the KV-length mirror on the same
-        transfer) and fire callbacks."""
-        probs, len_np = self._fetch((probs, self.store.caches.kv.length))
-        with self._lock:  # mirror is shared across threads (ADVICE r3)
-            self._len_host = np.asarray(len_np).copy()
+        """Sync user predictions and fire callbacks. The KV-length mirror is
+        NOT refreshed here: submit-time accounting is exact, and a fetch
+        captured at dispatch time would be stale by delivery under the
+        double-buffered path (later dispatches may already have appended)."""
+        probs = self._fetch(probs)
         out = {}
         for slot in pending:
             pred = {"state_1": float(probs[slot, 1]),

@@ -69,6 +69,12 @@ class DuplexService:
         self.engine = engine or ServingEngine(cfg, seed=seed, **engine_kw)
         self.sessions: Dict[str, _SessionFrontend] = {}
         self._lock = threading.Lock()
+        # double-buffered ticks (cfg.serving.pipeline_ticks): the previous
+        # tick's (PendingTick, submitted-features) pair, delivered AFTER the
+        # next tick is dispatched so device compute hides the tunnel round
+        # trip; decisions run one tick late in exchange for capacity
+        self._pipeline = cfg.serving.pipeline_ticks
+        self._pending_tick = None
         self.resp_threshold = cfg.duplex.resp_threshold
         self.tts_params = tts_params
         self._synth = None
@@ -171,7 +177,17 @@ class DuplexService:
                 if ident == "user":
                     submitted[sid] = feat
 
-        results = self.engine.tick()
+        if self._pipeline:
+            handle = self.engine.tick_submit()
+            prev, self._pending_tick = self._pending_tick, (handle, submitted)
+            if prev is None:
+                results, submitted = {}, {}
+            else:
+                results = prev[0].deliver()
+                submitted = prev[1]
+            worked = worked or bool(results) or bool(submitted)
+        else:
+            results = self.engine.tick()
         respondents: List[str] = []
         for sid, feat in submitted.items():
             try:  # the session may close concurrently (websocket thread)
@@ -181,7 +197,8 @@ class DuplexService:
             pred = results.get("user", {}).get(slot)
             if pred is None:
                 continue
-            if self._decide(sessions[sid], feat, pred):
+            fe = sessions.get(sid)  # pipelined: submitted is one tick old
+            if fe is not None and self._decide(fe, feat, pred):
                 respondents.append(sid)
         if respondents:
             # all sessions that decided to speak this tick share ONE fused
@@ -382,6 +399,12 @@ class DuplexService:
             still_open = self.sessions.get(fe.sid) is fe
         if still_open:
             fe.pcm["system"].push(np.asarray(pcm16, np.float32))
+
+    def drain_ticks(self) -> None:
+        """Deliver the in-flight tick (pipelined mode) and run its decisions.
+        Call before checkpoint/shutdown so no prediction is dropped."""
+        if self._pipeline and self._pending_tick is not None:
+            self.step()
 
     def flush_tts(self, timeout: float = 30.0) -> None:
         """Block until queued sentence-synthesis jobs drain (tests/teardown)."""

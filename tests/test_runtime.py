@@ -136,6 +136,73 @@ class TestServingEngine:
         engine.tick()
         assert len(seen) == 1 and 0 <= seen[0]["state_1"] <= 1
 
+    def test_pipelined_ticks_match_sync(self):
+        """Double-buffered dispatch (tick_submit + late deliver) must produce
+        exactly the sync tick()'s predictions: same compiled programs, same
+        inputs — only the fetch point moves."""
+        def drive(pipelined: bool):
+            engine = ServingEngine(tiny_system(), seed=0)
+            for sid in ("a", "b"):
+                engine.open_session(sid)
+            u = _chunks(11, 4)
+            s = _chunks(12, 4)
+            outs = []
+            prev = None
+            for i in range(4):
+                engine.submit_chunk("a", "user", u[i], is_sl=(i == 0))
+                if i != 1:  # staggered arrival for b
+                    engine.submit_chunk("b", "user", s[i], is_sl=(i == 0))
+                if i % 2 == 0:  # some ticks are full-duplex (fused path)
+                    engine.submit_chunk("a", "system", s[i], is_sl=(i == 0))
+                    engine.submit_chunk("b", "system", u[i], is_sl=(i == 0))
+                if pipelined:
+                    h = engine.tick_submit()
+                    if prev is not None:
+                        outs.append(prev.deliver())
+                    prev = h
+                else:
+                    outs.append(engine.tick())
+            if prev is not None:
+                outs.append(prev.deliver())
+            flat = [(i, slot, p["state_1"], p["state_2"])
+                    for i, r in enumerate(outs)
+                    for slot, p in sorted(r.get("user", {}).items())]
+            return flat, engine
+
+        sync, e_sync = drive(False)
+        pip, e_pip = drive(True)
+        assert [x[1:] for x in sync] == [x[1:] for x in pip]
+        # and the device KV advanced identically
+        for sid in ("a", "b"):
+            assert e_sync.store.kv_length(e_sync.store.slot_of(sid)) == \
+                e_pip.store.kv_length(e_pip.store.slot_of(sid))
+
+    def test_mirror_accounting_is_exact(self):
+        """The host KV-length mirror (advanced at submit time, never
+        refreshed from a fetch) must track the device lengths exactly across
+        user/system/dual ticks and rolls."""
+        engine = ServingEngine(tiny_system(), seed=0)
+        for sid in ("a", "b"):
+            engine.open_session(sid)
+        u = _chunks(13, 6)
+        s = _chunks(14, 6)
+        prev = None
+        for i in range(6):
+            engine.submit_chunk("a", "user", u[i], is_sl=(i % 3 == 0))
+            if i % 2 == 0:
+                engine.submit_chunk("b", "user", s[i], is_sl=(i % 4 == 0))
+            if i % 3 == 1:  # system-only and dual ticks both covered
+                engine.submit_chunk("a", "system", s[i], is_sl=(i == 1))
+                engine.submit_chunk("b", "system", u[i], is_sl=(i == 1))
+            h = engine.tick_submit()
+            if prev is not None:
+                prev.deliver()
+            prev = h
+        prev.deliver()
+        device_len = np.asarray(engine.store.caches.kv.length)
+        assert engine._len_host is not None
+        np.testing.assert_array_equal(engine._len_host, device_len)
+
 
 class TestShardedServing:
     def test_engine_with_tensor_parallel_mesh(self):

@@ -48,6 +48,36 @@ class TestDuplexService:
         svc.close_session("a")
         assert svc.engine.num_active == 1
 
+    def test_pipelined_service_matches_sync_predictions(self):
+        """cfg.serving.pipeline_ticks: decisions run one tick late but the
+        prediction VALUES must match the sync service exactly (same audio,
+        same params)."""
+        import dataclasses as _dc
+
+        def drive(pipelined: bool):
+            cfg = tiny_system()
+            cfg = _dc.replace(cfg, serving=_dc.replace(
+                cfg.serving, pipeline_ticks=pipelined))
+            svc = DuplexService(cfg, seed=0)
+            sink = svc.open_session("a")
+            n = cfg.duplex.gating.samples_per_chunk
+            svc.enqueue_audio_data("a", "user",
+                                   {"audio": np.zeros(n, np.float32)})
+            svc.step()
+            svc.enqueue_audio_data("a", "user", {"audio": _speech(2 * n)})
+            svc.enqueue_audio_data("a", "user",
+                                   {"audio": np.zeros(3 * n, np.float32)})
+            for _ in range(14):
+                if not svc.step():
+                    break
+            svc.drain_ticks()
+            return [round(u["probs"]["state_1"], 5)
+                    for u in sink.events_of("dialog_state_update")]
+
+        sync = drive(False)
+        pip = drive(True)
+        assert sync and sync == pip
+
     @pytest.mark.slow
     def test_service_fast_response_closes_loop(self):
         """With tts_params attached and threshold 0, a user chunk triggers the
