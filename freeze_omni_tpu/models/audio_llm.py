@@ -42,7 +42,8 @@ class SessionCaches(NamedTuple):
 
 
 def init_session(cfg: AudioLLMConfig, batch: int = 1,
-                 kv_dtype=jnp.float32) -> SessionCaches:
+                 kv_dtype=jnp.float32,
+                 kv_quant_bits: Optional[int] = None) -> SessionCaches:
     # encoder/adapter streaming caches share the serving dtype: a bf16
     # frontend (cast_frontend) concatenating into f32 caches would promote
     # the whole attention path back to f32 and break the scan carry dtype
@@ -51,7 +52,8 @@ def init_session(cfg: AudioLLMConfig, batch: int = 1,
         adp_user=adapter_mod.init_state(cfg.adapter, batch, kv_dtype),
         enc_system=encoder_mod.init_state(cfg.encoder, batch, kv_dtype),
         adp_system=adapter_mod.init_state(cfg.adapter, batch, kv_dtype),
-        kv=qwen2.init_cache(cfg.llm, batch, dtype=kv_dtype),
+        kv=qwen2.init_cache(cfg.llm, batch, dtype=kv_dtype,
+                            quant_bits=kv_quant_bits),
     )
 
 

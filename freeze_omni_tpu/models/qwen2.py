@@ -34,17 +34,73 @@ from .layers import (NEG_INF, embedding, linear, linear_init, rms_norm,
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray       # [L, B, S_max, Hkv, dk]
+    """Static-shape KV cache. When k_scale/v_scale are present the cache is
+    weight-only int8 (per-token-per-kv-head symmetric scales, quantized on
+    append, dequantized inside the attention op) — this halves the KV HBM
+    footprint, which is what bounds per-session context length at high
+    stream counts (the reference instead grows KV unboundedly at ~2 GB/user,
+    audioLLM.py:416-419 + scripts/run_demo_server.sh:8-9)."""
+
+    k: jnp.ndarray       # [L, B, S_max, Hkv, dk] (bf16/f32, or int8 if quant)
     v: jnp.ndarray       # [L, B, S_max, Hkv, dk]
     length: jnp.ndarray  # [B] int32 — valid prefix length per sequence
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, S_max, Hkv] f32
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def init_cache(cfg: LLMConfig, batch: int = 1, max_len: Optional[int] = None,
-               dtype=jnp.bfloat16) -> KVCache:
+               dtype=jnp.bfloat16, quant_bits: Optional[int] = None) -> KVCache:
     s = max_len or cfg.max_kv_len
     shape = (cfg.num_layers, batch, s, cfg.num_kv_heads, cfg.head_dim)
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                   length=jnp.zeros((batch,), jnp.int32))
+    if quant_bits is None:
+        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                       length=jnp.zeros((batch,), jnp.int32))
+    if quant_bits != 8:
+        raise ValueError(f"unsupported kv quant_bits {quant_bits!r} (8 or None)")
+    return KVCache(
+        k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+        length=jnp.zeros((batch,), jnp.int32),
+        k_scale=jnp.zeros(shape[:-1], jnp.float32),
+        v_scale=jnp.zeros(shape[:-1], jnp.float32))
+
+
+def cache_axes(cache: KVCache) -> KVCache:
+    """Batch-axis index per leaf (for row gather/scatter over sessions);
+    mirrors the cache's own structure so quantized and float caches both map."""
+    return KVCache(k=1, v=1, length=0,
+                   k_scale=None if cache.k_scale is None else 1,
+                   v_scale=None if cache.v_scale is None else 1)
+
+
+def quantize_kv_vectors(x: jnp.ndarray):
+    """Symmetric int8 quantization over the last (head_dim) axis.
+    x: [..., dk] -> (q int8 [..., dk], scale f32 [...])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quantize_cache(kv: KVCache, quant_bits: int = 8) -> KVCache:
+    """Float cache -> int8 cache (per-token-per-head scales). Used to seed
+    quantized session rows from a float role prefill and for cross-layout
+    session migration."""
+    if kv.k_scale is not None:
+        return kv
+    if quant_bits != 8:
+        raise ValueError(f"unsupported kv quant_bits {quant_bits!r}")
+    kq, ks = quantize_kv_vectors(kv.k)
+    vq, vs = quantize_kv_vectors(kv.v)
+    return KVCache(k=kq, v=vq, length=kv.length, k_scale=ks, v_scale=vs)
+
+
+def dequantize_cache(kv: KVCache, dtype=jnp.bfloat16) -> KVCache:
+    """int8 cache -> float cache (canonical layout for export/migration)."""
+    if kv.k_scale is None:
+        return kv
+    k = (kv.k.astype(jnp.float32) * kv.k_scale[..., None]).astype(dtype)
+    v = (kv.v.astype(jnp.float32) * kv.v_scale[..., None]).astype(dtype)
+    return KVCache(k=k, v=v, length=kv.length)
 
 
 def init_layer_stack(key, cfg: LLMConfig, num_layers: int, dtype=jnp.bfloat16):
@@ -181,8 +237,15 @@ def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,
         y = x * cos[:, :, None, :] + rot * sin[:, :, None, :]
         return y.astype(x.dtype)
 
+    quant = cache.k_scale is not None
+    # visible-slot count per query for the fused quantized-attention kernel:
+    # query t sees slots [0, length + rank_t + 1); invalid queries see nothing
+    qend = jnp.where(mask, cache.length[:, None] + rank + 1, 0) \
+        .astype(jnp.int32) if quant else None
+
     def layer_fn(x, inputs):
-        lp, lo, k_cache, v_cache = inputs  # caches: [B, S, Hkv, dk]
+        lp, lo = inputs["lp"], inputs.get("lora")
+        k_cache, v_cache = inputs["k"], inputs["v"]  # [B, S, Hkv, dk]
 
         def proj(name, h):
             y = linear(lp[name], h)
@@ -198,41 +261,58 @@ def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,
         v = proj("v", h).reshape(B, T, Hkv, dk)
         q = apply_rot(q, cos, sin)
         k = apply_rot(k, cos, sin)
-        k_cache = k_cache.at[batch_idx, dest].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[batch_idx, dest].set(v.astype(v_cache.dtype))
-        att = _gqa_attention(q, k_cache, v_cache, attn_mask, rep)
+        if quant:
+            from ..ops import attention as att_ops
+
+            kq, ksc = quantize_kv_vectors(k)
+            vq, vsc = quantize_kv_vectors(v)
+            k_cache = k_cache.at[batch_idx, dest].set(kq)
+            v_cache = v_cache.at[batch_idx, dest].set(vq)
+            ks_cache = inputs["ks"].at[batch_idx, dest].set(ksc)
+            vs_cache = inputs["vs"].at[batch_idx, dest].set(vsc)
+            att = att_ops.prefill_quant(q, k_cache, ks_cache, v_cache,
+                                        vs_cache, qend)
+            att = att.reshape(B, T, H * dk).astype(q.dtype)
+            out_caches = {"k": k_cache, "v": v_cache,
+                          "ks": ks_cache, "vs": vs_cache}
+        else:
+            k_cache = k_cache.at[batch_idx, dest].set(k.astype(k_cache.dtype))
+            v_cache = v_cache.at[batch_idx, dest].set(v.astype(v_cache.dtype))
+            att = _gqa_attention(q, k_cache, v_cache, attn_mask, rep)
+            out_caches = {"k": k_cache, "v": v_cache}
         x = x + proj("o", att)
         h2 = rms_norm(lp["ln2"], x, cfg.rms_eps)
         ffn = proj("down", jax.nn.silu(proj("gate", h2)) * proj("up", h2))
         x = x + ffn
-        return x, (k_cache, v_cache)
+        return x, out_caches
 
     if isinstance(params["layers"], (list, tuple)):
         # unrolled layer loop (legacy per-layer param lists); the production
         # path is the stacked scan below, which works for bf16 AND int8
         x = embeds
-        new_ks, new_vs = [], []
+        outs = []
         for i, lp in enumerate(params["layers"]):
-            lo_i = None if lora is None else jax.tree.map(
-                lambda t: t[i], lora)
-            x, (nk, nv) = layer_fn(x, (lp, lo_i, cache.k[i], cache.v[i]))
-            new_ks.append(nk)
-            new_vs.append(nv)
-        new_k = jnp.stack(new_ks)
-        new_v = jnp.stack(new_vs)
+            inp = {"lp": lp, "k": cache.k[i], "v": cache.v[i]}
+            if quant:
+                inp.update(ks=cache.k_scale[i], vs=cache.v_scale[i])
+            if lora is not None:
+                inp["lora"] = jax.tree.map(lambda t: t[i], lora)
+            x, oc = layer_fn(x, inp)
+            outs.append(oc)
+        stacked = {key: jnp.stack([o[key] for o in outs])
+                   for key in outs[0]}
     else:
-        def scan_fn(x, inputs):
-            if lora is None:
-                lp, k_cache, v_cache = inputs
-                return layer_fn(x, (lp, None, k_cache, v_cache))
-            return layer_fn(x, inputs)
-
-        xs = ((params["layers"], cache.k, cache.v) if lora is None
-              else (params["layers"], lora, cache.k, cache.v))
-        x, (new_k, new_v) = jax.lax.scan(scan_fn, embeds, xs)
+        xs = {"lp": params["layers"], "k": cache.k, "v": cache.v}
+        if quant:
+            xs.update(ks=cache.k_scale, vs=cache.v_scale)
+        if lora is not None:
+            xs["lora"] = lora
+        x, stacked = jax.lax.scan(layer_fn, embeds, xs)
     x = rms_norm(params["final_norm"], x, cfg.rms_eps)
 
-    new_cache = KVCache(k=new_k, v=new_v, length=cache.length + n_new)
+    new_cache = KVCache(k=stacked["k"], v=stacked["v"],
+                        length=cache.length + n_new,
+                        k_scale=stacked.get("ks"), v_scale=stacked.get("vs"))
     return x, new_cache
 
 
@@ -273,24 +353,61 @@ def roll_kv(cfg: LLMConfig, kv: KVCache, prefix_len: jnp.ndarray,
     cos = cos.reshape(B, S, 1, dk)
     sin = sin.reshape(B, S, 1, dk)
 
-    def rot(x):  # x: [L, B, S, Hkv, dk]
+    new_len = prefix_len + W
+    valid = s_idx < new_len[:, None]                                   # [B,S]
+    sel4 = (do_roll[:, None] & valid)[:, :, None, None]                # [B,S,1,1]
+    zero4 = (do_roll[:, None] & ~valid)[:, :, None, None]
+
+    def rot1(x):  # x: [B, S, Hkv, dk] (one layer)
         d2 = dk // 2
         x1, x2 = x[..., :d2], x[..., d2:]
         r = jnp.concatenate([-x2, x1], axis=-1)
-        return (x * cos[None] + r * sin[None]).astype(x.dtype)
+        return (x * cos + r * sin).astype(x.dtype)
 
-    idx = src[None, :, :, None, None]                # [1, B, S, 1, 1]
-    k_rolled = rot(jnp.take_along_axis(kv.k, idx, axis=2))
-    v_rolled = jnp.take_along_axis(kv.v, idx, axis=2)
+    idx4 = src[:, :, None, None]                     # [B, S, 1, 1]
 
-    new_len = prefix_len + W
-    valid = s_idx < new_len[:, None]                                   # [B,S]
-    sel = (do_roll[:, None] & valid)[None, :, :, None, None]
-    zero_sel = (do_roll[:, None] & ~valid)[None, :, :, None, None]
-    k_new = jnp.where(sel, k_rolled, jnp.where(zero_sel, 0, kv.k))
-    v_new = jnp.where(sel, v_rolled, jnp.where(zero_sel, 0, kv.v))
+    if kv.k_scale is None:
+        def rot(x):  # x: [L, B, S, Hkv, dk]
+            d2 = dk // 2
+            x1, x2 = x[..., :d2], x[..., d2:]
+            r = jnp.concatenate([-x2, x1], axis=-1)
+            return (x * cos[None] + r * sin[None]).astype(x.dtype)
+
+        idx = src[None, :, :, None, None]            # [1, B, S, 1, 1]
+        k_rolled = rot(jnp.take_along_axis(kv.k, idx, axis=2))
+        v_rolled = jnp.take_along_axis(kv.v, idx, axis=2)
+        sel = sel4[None]
+        zero_sel = zero4[None]
+        k_new = jnp.where(sel, k_rolled, jnp.where(zero_sel, 0, kv.k))
+        v_new = jnp.where(sel, v_rolled, jnp.where(zero_sel, 0, kv.v))
+        return KVCache(k=k_new, v=v_new,
+                       length=jnp.where(do_roll, new_len, length))
+
+    # int8 cache: K must be dequantized to rotate (then re-quantized: one
+    # extra quantization error on rolled entries only); V and all scales move
+    # losslessly as-is. Layer-by-layer (lax.map) so the f32 transient is one
+    # layer's worth, not the whole [L, B, S, Hkv, dk] tree — at 128 sessions x
+    # kv_len 1024 the full-tree dequant would transiently cost ~15 GB.
+    idx3 = src[:, :, None]                           # [B, S, 1] for scales
+
+    def per_layer(layer):
+        kq, ks, vq, vs = layer                       # [B, S, Hkv, (dk)]
+        kf = jnp.take_along_axis(kq, idx4, axis=1).astype(jnp.float32) * \
+            jnp.take_along_axis(ks, idx3, axis=1)[..., None]
+        kq2, ks2 = quantize_kv_vectors(rot1(kf))
+        vq2 = jnp.take_along_axis(vq, idx4, axis=1)
+        vs2 = jnp.take_along_axis(vs, idx3, axis=1)
+        k_new = jnp.where(sel4, kq2, jnp.where(zero4, 0, kq))
+        v_new = jnp.where(sel4, vq2, jnp.where(zero4, 0, vq))
+        ks_new = jnp.where(sel4[..., 0], ks2, jnp.where(zero4[..., 0], 0, ks))
+        vs_new = jnp.where(sel4[..., 0], vs2, jnp.where(zero4[..., 0], 0, vs))
+        return k_new, ks_new, v_new, vs_new
+
+    k_new, ks_new, v_new, vs_new = jax.lax.map(
+        per_layer, (kv.k, kv.k_scale, kv.v, kv.v_scale))
     return KVCache(k=k_new, v=v_new,
-                   length=jnp.where(do_roll, new_len, length))
+                   length=jnp.where(do_roll, new_len, length),
+                   k_scale=ks_new, v_scale=vs_new)
 
 
 def last_valid_index(mask: jnp.ndarray) -> jnp.ndarray:

@@ -117,6 +117,156 @@ def gqa_decode(q, k_cache, v_cache, length, use_pallas: Optional[bool] = None):
 
 
 # ---------------------------------------------------------------------------
+# int8-KV prefill attention (the serving tick's hot op under kv_quant_bits=8)
+#
+# The per-tick LLM pass is a chunk prefill ([B, T~10-70] queries) against the
+# batched per-session cache. With an int8 cache the XLA path must materialize
+# a dequantized bf16 copy of each layer's [B, S, Hkv, dk] K and V before the
+# einsum (the convert*scale producer does not fuse into the dot), i.e. it
+# WRITES + RE-READS the full cache in bf16 — 2.5x the HBM traffic of the bf16
+# baseline, defeating the quantization. This kernel dequantizes in VMEM: HBM
+# traffic is the int8 cache read only (half the bf16 baseline). Scales factor
+# out of the dot: scores = (q @ k_q^T) * k_scale[slot] and the V contraction
+# folds v_scale into the softmax weights, so the MXU sees plain f32 dots.
+# ---------------------------------------------------------------------------
+
+
+def prefill_quant_reference(q, k_q, k_scale, v_q, v_scale, qend):
+    """q: [B,T,H,dk]; k_q/v_q: [B,S,Hkv,dk] int8; k_scale/v_scale: [B,S,Hkv];
+    qend: [B,T] — query t attends slots [0, qend[b,t]) (0 = masked query).
+    Returns [B,T,H,dk] in q.dtype."""
+    B, T, H, dk = q.shape
+    S, Hkv = k_q.shape[1], k_q.shape[2]
+    rep = H // Hkv
+    k = (k_q.astype(jnp.float32) * k_scale[..., None]).astype(q.dtype)
+    v = (v_q.astype(jnp.float32) * v_scale[..., None]).astype(q.dtype)
+    qg = q.reshape(B, T, Hkv, rep, dk)
+    scores = jnp.einsum("bthrd,bshd->bhrts", qg, k) / math.sqrt(dk)
+    mask = jnp.arange(S)[None, None, :] < qend[:, :, None]     # [B,T,S]
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF)
+    p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhrts,bshd->bthrd", p, v)
+    return out.reshape(B, T, H, dk)
+
+
+def _prefill_quant_kernel(qend_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                          o_ref, *, scale: float, num_kv_heads: int):
+    # scales ride in [1, Hkv, S] layout so the per-head slice is a
+    # lane-contiguous [S] vector (S on the 128-lane axis), not a
+    # sublane-strided gather over a tiny trailing Hkv dim; qend is a VMEM
+    # input (scalar-prefetch refs only permit scalar loads)
+    T, H, dk = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    S = kq_ref.shape[1]
+    rep = H // num_kv_heads
+    qend = qend_ref[0]                                          # [T, 1] i32
+    slot = jax.lax.broadcasted_iota(jnp.int32, (T, 1, S), 2)
+    mask = slot < qend[..., None]                               # [T, 1, S]
+
+    for h in range(num_kv_heads):
+        q = q_ref[0, :, h * rep:(h + 1) * rep, :].astype(jnp.float32)
+        q2 = q.reshape(T * rep, dk)
+        k = kq_ref[0, :, h, :].astype(jnp.float32)              # [S, dk]
+        ks = ks_ref[0, h, :]                                    # [S]
+        s = jax.lax.dot_general(q2, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (ks * scale)[None, :]                           # [T*rep, S]
+        s = s.reshape(T, rep, S)
+        s = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)              # [T, rep, S]
+        vs = vs_ref[0, h, :]                                    # [S]
+        p2 = (p * vs[None, None, :]).reshape(T * rep, S)
+        v = vq_ref[0, :, h, :].astype(jnp.float32)              # [S, dk]
+        out = jax.lax.dot_general(p2, v, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[0, :, h * rep:(h + 1) * rep, :] = \
+            out.reshape(T, rep, dk).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def prefill_quant_pallas(q, k_q, k_scale, v_q, v_scale, qend,
+                         interpret: bool = False):
+    """Fused int8-KV prefill attention; same contract as
+    prefill_quant_reference. One grid cell per batch row; the row's whole
+    int8 cache rides into VMEM (1 MB at S=2048), dequantized on the fly."""
+    B, T, H, dk = q.shape
+    S, Hkv = k_q.shape[1], k_q.shape[2]
+    scale = 1.0 / math.sqrt(dk)
+
+    in_specs = [
+        # [B, T, 1]: T rides the sublane axis so the kernel's [T, 1] load
+        # broadcasts against the [T, 1, S] score mask without a vector
+        # transpose (Mosaic cannot rotate a lane vector onto sublanes); the
+        # (T, 1) trailing block equals the array dims, satisfying the TPU
+        # tile-alignment rule for the tiny i32 input
+        pl.BlockSpec((1, T, 1), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, H, dk), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, S, Hkv, dk), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Hkv, S), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, S, Hkv, dk), lambda b: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Hkv, S), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    # [B, S, Hkv] -> [B, Hkv, S]: lane-contiguous per-head scale vectors
+    ks_t = jnp.swapaxes(k_scale, 1, 2)
+    vs_t = jnp.swapaxes(v_scale, 1, 2)
+    return pl.pallas_call(
+        functools.partial(_prefill_quant_kernel, scale=scale,
+                          num_kv_heads=Hkv),
+        out_shape=jax.ShapeDtypeStruct((B, T, H, dk), q.dtype),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, T, H, dk), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qend.astype(jnp.int32)[:, :, None], q, k_q, ks_t, v_q, vs_t)
+
+
+# VMEM budget guard for the full-row kernel: per grid cell we hold the int8
+# K+V row, one dequantized f32 K and V head [S, dk], the f32 score block
+# [T, rep, S], and the q/out blocks. Stay well under the ~16 MB/core budget;
+# oversized shapes fall back to the XLA reference.
+_PREFILL_QUANT_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _prefill_quant_vmem_bytes(T, S, H, Hkv, dk) -> int:
+    rep = H // Hkv
+    kv_row = 2 * S * Hkv * dk            # int8 K+V
+    deq = 2 * S * dk * 4                 # f32 K and V, one head
+    scores = 2 * T * rep * S * 4         # scores + exp
+    qout = 2 * T * H * dk * 4
+    return kv_row + deq + scores + qout
+
+
+def prefill_quant(q, k_q, k_scale, v_q, v_scale, qend,
+                  use_pallas: Optional[bool] = None):
+    """Dispatch: fused Pallas kernel on TPU (when the row fits VMEM), XLA
+    reference elsewhere. FREEZE_OMNI_KV_KERNEL=xla|pallas overrides (A/B)."""
+    import os
+
+    env = os.environ.get("FREEZE_OMNI_KV_KERNEL")
+    if env == "xla":
+        use_pallas = False
+    elif env == "pallas":
+        use_pallas = True
+    if use_pallas is None:
+        B, T, H, dk = q.shape
+        S, Hkv = k_q.shape[1], k_q.shape[2]
+        use_pallas = (jax.default_backend() == "tpu" and
+                      _prefill_quant_vmem_bytes(T, S, H, Hkv, dk)
+                      <= _PREFILL_QUANT_VMEM_BUDGET)
+    if use_pallas:
+        return prefill_quant_pallas(q, k_q, k_scale, v_q, v_scale, qend)
+    return prefill_quant_reference(q, k_q, k_scale, v_q, v_scale, qend)
+
+
+# ---------------------------------------------------------------------------
 # block-skipping variant for long contexts: the cache stays in HBM and the
 # kernel DMAs only ceil(length/BLOCK) blocks into VMEM (double-buffered),
 # with an online-softmax (flash) accumulation — XLA's einsum path must read

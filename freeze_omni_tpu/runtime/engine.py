@@ -97,7 +97,8 @@ class ServingEngine:
                       f"(rounded up to a multiple of the data axis {dp})",
                       file=sys.stderr)
                 max_sessions = rounded
-        self.store = SessionStore(cfg.audio_llm, max_sessions, kv_dtype)
+        self.store = SessionStore(cfg.audio_llm, max_sessions, kv_dtype,
+                                  cfg.serving.kv_quant_bits)
         if mesh is not None:
             self.store.shard(mesh)
         # multi-host meshes: device_get of a 'data'-sharded result would fail
@@ -161,7 +162,12 @@ class ServingEngine:
                      on_prediction: Optional[Callable] = None) -> int:
         role = role or self.cfg.duplex.default_prompt
         if role not in self._role_kv_cache:
-            self._role_kv_cache[role] = self.core.role_kv(role)
+            kv = self.core.role_kv(role)
+            if self.store.kv_quant_bits is not None:
+                # the pool rows are int8: quantize the float role prefill so
+                # the seed write matches the row layout (per-token scales)
+                kv = qwen2.quantize_cache(kv, self.store.kv_quant_bits)
+            self._role_kv_cache[role] = kv
         with self._lock:
             existing = self.store.has(sid)
             slot = self.store.alloc(sid, self._role_kv_cache[role])
@@ -204,8 +210,12 @@ class ServingEngine:
             slot = self.store.slot_of(sid)
             role = self._slot_role.get(slot)
             prefix_len = int(self.store.prefix_len[slot])
-        row = jax.tree.map(np.asarray,
-                           self._fetch(self.store.gather_slot(slot)))
+            row = self.store.gather_slot(slot)
+        if self.store.kv_quant_bits is not None:
+            # blobs always carry canonical-float KV (scales folded in) so a
+            # session migrates across engines with different kv_quant settings
+            row = row._replace(kv=qwen2.dequantize_cache(row.kv, jnp.float32))
+        row = jax.tree.map(np.asarray, self._fetch(row))
         return {"version": 1, "sid": sid, "role": role,
                 "prefix_len": prefix_len, "caches": row}
 
@@ -216,10 +226,15 @@ class ServingEngine:
             raise ValueError(f"unknown session blob version "
                              f"{blob.get('version')!r}")
         # cast each leaf to this store's layout (bf16 KV engines accept f32
-        # exports and vice versa)
+        # exports and vice versa); blobs carry canonical-float KV, so a
+        # quantized store re-quantizes the row to its int8 layout here
         row = jax.tree.map(
             lambda x, t: np.asarray(x).astype(np.asarray(t).dtype),
-            blob["caches"], self.store._row_template)
+            blob["caches"], self.store.row_template_canonical)
+        if self.store.kv_quant_bits is not None:
+            row = row._replace(kv=qwen2.quantize_cache(
+                jax.tree.map(jnp.asarray, row.kv),
+                self.store.kv_quant_bits))
         with self._lock:
             slot = self.store.alloc(sid, reset=False)  # scatter follows
             self._slot_role[slot] = blob.get("role") or \
@@ -276,7 +291,7 @@ class ServingEngine:
             raise ValueError(f"unknown snapshot version {index.get('version')!r}")
         import sys as _sys
 
-        treedef = jax.tree.structure(self.store._row_template)
+        treedef = jax.tree.structure(self.store.row_template_canonical)
         restored = []
         for sid, meta in index["sessions"].items():
             if not self.store._free and not self.store.has(sid):

@@ -49,7 +49,7 @@ def _scatter_kv_rows(full: qwen2.KVCache, new: qwen2.KVCache,
     into per-tick dispatches measured slower on the tunneled device (see
     engine.__init__). `idx` is padded by the caller to a fixed bucket length
     (duplicate writes carry identical data, so order is irrelevant)."""
-    kv_axes = qwen2.KVCache(k=1, v=1, length=0)
+    kv_axes = qwen2.cache_axes(full)
 
     def put(n, f, ax):
         take = jnp.take(n, r, axis=ax)
@@ -73,23 +73,26 @@ def session_batch_axes(caches: audio_llm.SessionCaches):
         adp_user=adp_axes(caches.adp_user),
         enc_system=enc_axes(caches.enc_system),
         adp_system=adp_axes(caches.adp_system),
-        kv=qwen2.KVCache(k=1, v=1, length=0),
+        kv=qwen2.cache_axes(caches.kv),
     )
 
 
 class SessionStore:
     def __init__(self, cfg: AudioLLMConfig, max_sessions: int,
-                 kv_dtype=jnp.float32):
+                 kv_dtype=jnp.float32, kv_quant_bits: Optional[int] = None):
         self.cfg = cfg
         self.max_sessions = max_sessions
-        self.caches = audio_llm.init_session(cfg, max_sessions, kv_dtype)
+        self.kv_quant_bits = kv_quant_bits
+        self.caches = audio_llm.init_session(cfg, max_sessions, kv_dtype,
+                                             kv_quant_bits)
         self._axes = session_batch_axes(self.caches)
         # numpy (uncommitted): a committed single-device template would be
         # rejected when written into mesh-global caches under multi-host —
         # uncommitted host values lift to replicated on whatever mesh the
         # destination lives on
         self._row_template = jax.tree.map(
-            np.asarray, audio_llm.init_session(cfg, 1, kv_dtype))
+            np.asarray, audio_llm.init_session(cfg, 1, kv_dtype,
+                                               kv_quant_bits))
         self._free: List[int] = list(range(max_sessions))
         self._slots: Dict[str, int] = {}
         # pinned role-prefill length per slot (the sliding-KV "sink" prefix)
@@ -156,11 +159,28 @@ class SessionStore:
 
         specs = jax.tree.map(
             lambda leaf, ax: P(*(None,) * ax, "data"), self.caches, self._axes)
+        has_scales = self.caches.kv.k_scale is not None
+        # scales [L, B, S, Hkv]: same layout as k/v minus the head_dim axis
+        scale_spec = P(None, "data", None, "model") if has_scales else None
         specs = specs._replace(kv=qwen2.KVCache(
-            k=kv_cache_specs(), v=kv_cache_specs(), length=P()))
+            k=kv_cache_specs(), v=kv_cache_specs(), length=P(),
+            k_scale=scale_spec, v_scale=scale_spec))
         self.caches = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
             self.caches, specs)
+
+    @property
+    def row_template_canonical(self) -> audio_llm.SessionCaches:
+        """Row template with the KV in CANONICAL float layout (no quant
+        scales). Session export/snapshot blobs always carry canonical-float
+        KV so a session can migrate between engines with different
+        kv_quant settings; import re-quantizes to this store's layout."""
+        if self.kv_quant_bits is None:
+            return self._row_template
+        dt = self._row_template.enc_user.k_cache.dtype
+        kv = jax.tree.map(np.asarray,
+                          qwen2.init_cache(self.cfg.llm, 1, dtype=dt))
+        return self._row_template._replace(kv=kv)
 
     def kv_length(self, slot: int) -> int:
         return int(np.asarray(self.caches.kv.length)[slot])
@@ -202,7 +222,7 @@ class SessionStore:
         batched response generation across concurrently-speaking sessions)."""
         idx = jnp.asarray(slots)
         kv = self.caches.kv
-        kv_axes = qwen2.KVCache(k=1, v=1, length=0)
+        kv_axes = qwen2.cache_axes(kv)
         return jax.tree.map(lambda leaf, ax: jnp.take(leaf, idx, axis=ax),
                             kv, kv_axes)
 
