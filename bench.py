@@ -184,19 +184,27 @@ def _best_rtf(point: dict, prefix: str) -> float:
                      point.get(f"{prefix}realtime_fraction", 9))
 
 
-def knee_detail(cfg, args, params):
+def knee_detail(cfg, args, params, schedule=None):
     """Stream-count knee: batched tick p50 vs session count until the tick
     approaches the 224 ms chunk budget (VERDICT r2 #5 — the '8+ streams'
     north star is far exceeded; find the ceiling). KV length shrinks at the
     top counts so cache + int8 weights fit the 16 GB chip."""
     import dataclasses as _dc
 
+    from freeze_omni_tpu.models import codec as codec_mod
+    from freeze_omni_tpu.models import speech_decoder as sd
     from freeze_omni_tpu.runtime.engine import ServingEngine
+    from freeze_omni_tpu.runtime.tts_batch import BatchedTTS
 
     import gc
 
     points = []
     rng = np.random.RandomState(0)
+    # speech-synthesis params for the mixed-load rows (the VERDICT r3 #3
+    # done-criterion: >=25% of sessions mid-response still meet the budget)
+    kt1, kt2 = jax.random.split(jax.random.PRNGKey(11))
+    tts_params = {"decoder": sd.init_params(kt1, cfg.tts.decoder),
+                  "codec": codec_mod.init_params(kt2, cfg.tts.codec)}
     # the 160-stream point exists to show the ceiling empirically: 128 runs
     # under the 224 ms budget, 160 must land over it (else the ceiling moved).
     # High stream counts switch the per-session KV to int8 (per-token scales,
@@ -204,9 +212,10 @@ def knee_detail(cfg, args, params):
     # window to 512@64 / 256@128 to fit bf16 KV in the 16 GB chip — int8
     # keeps the full 1024-token dialog context at every point (VERDICT r3
     # missing #1 / next-round #2).
-    for streams, kv_len, kv_q in ((8, 1024, None), (16, 1024, None),
-                                  (32, 1024, None), (64, 1024, 8),
-                                  (128, 1024, 8), (160, 1024, 8)):
+    if schedule is None:
+        schedule = ((8, 1024, None), (16, 1024, None), (32, 1024, None),
+                    (64, 1024, 8), (128, 1024, 8), (160, 1024, 8))
+    for streams, kv_len, kv_q in schedule:
         c = _dc.replace(
             cfg,
             audio_llm=_dc.replace(
@@ -264,6 +273,52 @@ def knee_detail(cfg, args, params):
                 prev.deliver()
                 return total * 1e3 / n
 
+            def measure_mixed():
+                """Production stress row: full duplex on every session PLUS
+                25% of sessions mid-spoken-response. Each tick = the fused
+                dual-identity step + one batched text-continuation segment
+                for the speakers (4 tokens/tick ~= 18 tok/s, 4x faster than
+                speech playback consumes text) + one pooled speech-synthesis
+                advance (1/4 codec chunk/tick ~= realtime audio production;
+                runtime/tts_batch.BatchedTTS). Cadences are the capacity-
+                oriented config (duplex.resp_segment / BatchedTTS.step
+                n_steps), vs the latency-oriented defaults."""
+                n_speak = max(1, streams // 4)
+                pool = BatchedTTS(
+                    tts_params, c.tts, capacity=n_speak, seed=0,
+                    max_kv_len=8 * 32 + 1 + 256)
+                dec_idim = c.tts.decoder.idim
+                counter = [0]
+
+                def refill():
+                    free = pool.n_free
+                    jobs = []
+                    for _ in range(free):
+                        counter[0] += 1
+                        jobs.append(
+                            (counter[0],
+                             rng.randn(1, 8, dec_idim).astype(np.float32),
+                             rng.randn(1, 8, dec_idim).astype(np.float32)))
+                    if jobs:
+                        pool.start(jobs)
+
+                cont = {f"s{i}": 5 for i in range(n_speak)}
+                tts_steps = max(1, (c.tts.codec_chunk_size + 3) // 4)
+
+                def one_tick():
+                    submit(False, True)
+                    t = time.perf_counter()
+                    engine.tick()
+                    engine.continue_segments(dict(cont), n_steps=4)
+                    refill()
+                    pool.step(n_steps=tts_steps)
+                    return (time.perf_counter() - t) * 1e3
+
+                one_tick()
+                one_tick()  # warmup/compile
+                lat = [one_tick() for _ in range(max(5, args.trials))]
+                return float(np.median(lat)), n_speak
+
             chunk_ms = cfg.duplex.gating.chunk_duration_s * 1e3
             tick(True)
             tick(False)  # warmup/compile
@@ -310,17 +365,27 @@ def knee_detail(cfg, args, params):
                 remeasured["duplex_pipelined"] = [round(pip_d, 1),
                                                   round(second, 1)]
                 pip_d = min(pip_d, second)
+            # mixed load: full duplex + 25% of sessions speaking (batched
+            # text continuation + pooled speech synthesis per tick)
+            mixed, n_speak = measure_mixed()
+            if mixed > 2.5 * p50_d:  # tunnel-stall plausibility re-measure
+                second, _ = measure_mixed()
+                remeasured["mixed"] = [round(mixed, 1), round(second, 1)]
+                mixed = min(mixed, second)
             point = {"streams": streams, "kv_len": kv_len,
                      "kv_quant_bits": kv_q,
                      "tick_p50_ms": round(p50, 1),
                      "tick_duplex_p50_ms": round(p50_d, 1),
                      "tick_pipelined_ms": round(pip, 1),
                      "tick_duplex_pipelined_ms": round(pip_d, 1),
+                     "tick_mixed_p50_ms": round(mixed, 1),
+                     "mixed_speaking_sessions": n_speak,
                      "realtime_fraction": round(p50 / chunk_ms, 3),
                      "duplex_realtime_fraction": round(p50_d / chunk_ms, 3),
                      "pipelined_realtime_fraction": round(pip / chunk_ms, 3),
                      "duplex_pipelined_realtime_fraction":
-                         round(pip_d / chunk_ms, 3)}
+                         round(pip_d / chunk_ms, 3),
+                     "mixed_realtime_fraction": round(mixed / chunk_ms, 3)}
             if remeasured:
                 # a genuinely slow regime that trips the plausibility
                 # heuristic must stay visible in the artifact (ADVICE r3):
@@ -329,14 +394,16 @@ def knee_detail(cfg, args, params):
             points.append(point)
             log(f"knee: {streams} streams -> {p50:.1f} ms tick "
                 f"({pip:.1f} pipelined), {p50_d:.1f} ms full-duplex "
-                f"({pip_d:.1f} pipelined)")
+                f"({pip_d:.1f} pipelined), {mixed:.1f} ms mixed "
+                f"(+{n_speak} speaking)")
             del engine
             gc.collect()  # drop the dead engine's device caches before the
             # next (larger) allocation
             if min(p50, pip) > chunk_ms:
                 break
         except Exception as e:  # OOM at the top counts is a finding, not a crash
-            log(f"knee: {streams} streams failed: {type(e).__name__}")
+            log(f"knee: {streams} streams failed: {type(e).__name__}: "
+                f"{str(e)[:300]}")
             points.append({"streams": streams, "kv_len": kv_len,
                            "kv_quant_bits": kv_q,
                            "error": type(e).__name__})
@@ -717,6 +784,11 @@ def main():
                                      "max_duplex_realtime_streams": max(
                                          (p["streams"] for p in points
                                           if _best_rtf(p, "duplex_") <= 1),
+                                         default=0),
+                                     "max_mixed_realtime_streams": max(
+                                         (p["streams"] for p in points
+                                          if p.get("mixed_realtime_fraction",
+                                                   9) <= 1),
                                          default=0)}}))
         return
     # the latency bench only exercises the user identity: alias the system
@@ -1000,6 +1072,9 @@ def main():
             "max_duplex_realtime_streams": None if knee is None else max(
                 (p["streams"] for p in knee
                  if _best_rtf(p, "duplex_") <= 1), default=0),
+            "max_mixed_realtime_streams": None if knee is None else max(
+                (p["streams"] for p in knee
+                 if p.get("mixed_realtime_fraction", 9) <= 1), default=0),
             "cold_warm": cold_warm,
             "note": "vs_baseline = ours/reference (<1 is faster), reported "
                     "only at the full 28-layer Qwen2-7B depth; fused = "

@@ -424,6 +424,11 @@ class ServingConfig:
     # scales): halves KV HBM vs bf16, which is what bounds kv_len at high
     # stream counts (VERDICT r3 missing #1). None/8.
     kv_quant_bits: Optional[int] = None
+    # batched sentence-synthesis pool rows (runtime/tts_batch.BatchedTTS):
+    # concurrent in-flight sentences across ALL sessions; 0 = auto
+    # (max(4, max_sessions // 4)). Sentences beyond capacity queue per
+    # session, preserving order.
+    tts_pool: int = 0
 
 
 @dataclass(frozen=True)

@@ -157,17 +157,25 @@ def init_decode_state(cfg: SpeechDecoderConfig, cache: DecoderCache,
 
 def decode_segment(params, cfg: SpeechDecoderConfig, state: DecodeState,
                    rng, n_steps: int, top_k: int, penalty_window: int,
-                   penalty: float) -> Tuple[jnp.ndarray, DecodeState]:
+                   penalty: float, active: Optional[jnp.ndarray] = None
+                   ) -> Tuple[jnp.ndarray, DecodeState]:
     """Generate up to n_steps tokens on-device. Returns ([B, n_steps] tokens —
-    eos/pad after the stop position — and the updated state)."""
+    eos/pad after the stop position — and the updated state).
+
+    active: optional [B] bool — rows with active=False are frozen in place
+    (no cache growth, cur_token/recent/done untouched, output tokens pad).
+    This is what lets a resident POOL of streaming-synthesis jobs ride one
+    fused dispatch while rows start/finish on different ticks
+    (runtime/tts_batch.BatchedTTS)."""
     lcfg = _llm_cfg(cfg)
     fake = {"layers": params["layers"], "final_norm": params["final_norm"]}
 
     def step(carry, key):
         st = carry
         emb = embedding(params["embedding"], st.cur_token)[:, None]
-        hidden, kv = qwen2.forward(fake, lcfg, emb,
-                                   jnp.ones_like(st.cur_token, bool)[:, None],
+        fwd_mask = (jnp.ones_like(st.cur_token, bool) if active is None
+                    else active.astype(bool))[:, None]
+        hidden, kv = qwen2.forward(fake, lcfg, emb, fwd_mask,
                                    st.cache.kv, pos_offset=st.cache.prefix_len)
         lg = linear(params["out"], hidden[:, 0]).astype(jnp.float32)
         if penalty_window > 0:
@@ -185,9 +193,15 @@ def decode_segment(params, cfg: SpeechDecoderConfig, state: DecodeState,
         nxt = jnp.where(st.done, cfg.pad_id, nxt)
         done = st.done | (nxt == cfg.eos_id)
         recent = jnp.concatenate([st.recent[:, 1:], nxt[:, None]], axis=1)
+        if active is not None:
+            nxt = jnp.where(active, nxt, st.cur_token)
+            done = jnp.where(active, done, st.done)
+            recent = jnp.where(active[:, None], recent, st.recent)
         new_st = DecodeState(cache=st.cache._replace(kv=kv), cur_token=nxt,
                              recent=recent, done=done)
-        return new_st, nxt
+        out_tok = nxt if active is None else \
+            jnp.where(active, nxt, cfg.pad_id)
+        return new_st, out_tok
 
     keys = jax.random.split(rng, n_steps)
     state, tokens = jax.lax.scan(step, state, keys)

@@ -31,7 +31,7 @@ SR = 16000
 # 16 ms / 8 ms frames (the duplex-path fbank timing), 40 mel bins
 VAD_FBANK = FbankConfig(frame_length_ms=16.0, frame_shift_ms=8.0,
                         num_mel_bins=40)
-HIDDEN = 48
+HIDDEN = 64
 N_MEL = 40
 
 
@@ -68,7 +68,7 @@ def synth_babble(rng: np.random.RandomState, n: int) -> np.ndarray:
     tracks and syllabic modulations decorrelate — the cue separating crowd
     chatter (must NOT open an IPU) from one foreground talker (must)."""
     x = np.zeros(n, np.float32)
-    for _ in range(rng.randint(5, 9)):
+    for _ in range(rng.randint(5, 10)):
         seg = rng.randint(3 * n // 4, n)  # dense: >=2 voices ~everywhere
         start = rng.randint(0, n - seg + 1)
         x[start : start + seg] += (synth_speech(rng, seg)
@@ -114,35 +114,50 @@ def synth_noise(rng: np.random.RandomState, n: int) -> np.ndarray:
 
 
 def make_mixture(rng: np.random.RandomState, seconds: float = 2.0):
-    """-> (waveform [-1,1], per-frame labels). Speech segments at random SNR
-    over a noise bed; labels follow the speech gate at frame resolution.
+    """-> (waveform [-1,1], per-frame labels, per-frame loss weights).
+    Speech segments at random SNR over a noise bed; labels follow the speech
+    gate at frame resolution.
 
     Segments alternate speech (labeled 1) with occasional LOUD negatives
     (babble/music/bursts at foreground amplitude, labeled 0): without them
     the only loud events in training are speech and the model learns
     level, not voicing — measured babble FPR 0.80 before, speech-level
-    discrimination requires speech-level counterexamples."""
+    discrimination requires speech-level counterexamples. Hard-negative
+    frames (loud non-speech foreground) carry 3x loss weight, and ~1 clip
+    in 5 is WHOLE-CLIP foreground babble — the deployment false-trigger
+    case (a crowd, no target talker) the segment mixer alone under-covers
+    (measured: babble FPR 0.40 without these, VERDICT r3 #5)."""
     n = int(seconds * SR)
     noise = synth_noise(rng, n) * rng.uniform(0.01, 0.3)
     wav = noise.copy()
     gate = np.zeros(n, bool)
-    pos = rng.randint(0, n // 4)
-    while pos < n - SR // 4:
-        seg = rng.randint(SR // 4, SR)
-        draw = rng.rand()
-        if draw < 0.6:
-            seg = min(seg, n - pos)
-            amp = rng.uniform(0.05, 0.8)
-            wav[pos : pos + seg] += synth_speech(rng, seg) * amp
-            gate[pos : pos + seg] = True
-        elif draw < 0.8:  # loud non-speech foreground, labeled 0 —
-            # half of them babble, the one negative that shares speech
-            # acoustics and so needs the most counterexamples
-            seg = min(seg, n - pos)
-            neg = (synth_babble(rng, seg) if rng.rand() < 0.5
-                   else synth_noise(rng, seg))
-            wav[pos : pos + seg] += neg * rng.uniform(0.2, 0.8)
-        pos += seg + rng.randint(SR // 8, SR // 2)
+    hard = np.zeros(n, bool)
+    if rng.rand() < 0.2:
+        # pure-negative clip: sustained foreground babble (or, rarely,
+        # another loud noise family), zero speech labels throughout
+        neg = (synth_babble(rng, n) if rng.rand() < 0.75
+               else synth_noise(rng, n))
+        wav += neg * rng.uniform(0.2, 0.9)
+        hard[:] = True
+    else:
+        pos = rng.randint(0, n // 4)
+        while pos < n - SR // 4:
+            seg = rng.randint(SR // 4, SR)
+            draw = rng.rand()
+            if draw < 0.6:
+                seg = min(seg, n - pos)
+                amp = rng.uniform(0.05, 0.8)
+                wav[pos : pos + seg] += synth_speech(rng, seg) * amp
+                gate[pos : pos + seg] = True
+            elif draw < 0.8:  # loud non-speech foreground, labeled 0 —
+                # half of them babble, the one negative that shares speech
+                # acoustics and so needs the most counterexamples
+                seg = min(seg, n - pos)
+                neg = (synth_babble(rng, seg) if rng.rand() < 0.5
+                       else synth_noise(rng, seg))
+                wav[pos : pos + seg] += neg * rng.uniform(0.2, 0.8)
+                hard[pos : pos + seg] = True
+            pos += seg + rng.randint(SR // 8, SR // 2)
     peak = np.abs(wav).max() + 1e-8
     if peak > 1.0:
         wav = wav / peak
@@ -150,7 +165,10 @@ def make_mixture(rng: np.random.RandomState, seconds: float = 2.0):
     m = 1 + (n - fl) // fs
     labels = np.array([gate[i * fs : i * fs + fl].mean() > 0.5
                        for i in range(m)], np.float32)
-    return wav.astype(np.float32), labels
+    hard_f = np.array([hard[i * fs : i * fs + fl].mean() > 0.5
+                       for i in range(m)], bool)
+    weights = np.where(hard_f & (labels < 0.5), 3.0, 1.0).astype(np.float32)
+    return wav.astype(np.float32), labels, weights
 
 
 def features(wav: np.ndarray) -> np.ndarray:
@@ -202,7 +220,7 @@ def forward(params, feats):
     return probs
 
 
-def train(steps: int = 400, batch: int = 8, seed: int = 0,
+def train(steps: int = 900, batch: int = 8, seed: int = 0,
           lr: float = 3e-3) -> dict:
     import optax
 
@@ -221,25 +239,27 @@ def train(steps: int = 400, batch: int = 8, seed: int = 0,
     trainable = {k: v for k, v in params.items() if k not in ("mean", "scale")}
     state = opt.init(trainable)
 
-    def loss_fn(tr, feats, labels):
+    def loss_fn(tr, feats, labels, weights):
         p = dict(tr, mean=params["mean"], scale=params["scale"])
         probs = jax.vmap(lambda f: forward(p, f))(feats)
         eps = 1e-6
         bce = -(labels * jnp.log(probs + eps)
                 + (1 - labels) * jnp.log(1 - probs + eps))
-        return bce.mean()
+        return (bce * weights).sum() / weights.sum()
 
     step_fn = jax.jit(jax.value_and_grad(loss_fn))
 
     for it in range(steps):
-        fb, lb = [], []
+        fb, lb, wb = [], [], []
         for _ in range(batch):
-            wav, labels = make_mixture(rng)
+            wav, labels, weights = make_mixture(rng)
             fb.append(features(wav))
             lb.append(labels)
+            wb.append(weights)
         feats = jnp.asarray(np.stack(fb))
         labels = jnp.asarray(np.stack(lb))
-        loss, grads = step_fn(trainable, feats, labels)
+        weights = jnp.asarray(np.stack(wb))
+        loss, grads = step_fn(trainable, feats, labels, weights)
         updates, state = opt.update(grads, state)
         trainable = optax.apply_updates(trainable, updates)
         if it % 50 == 0 or it == steps - 1:
@@ -252,7 +272,7 @@ def train(steps: int = 400, batch: int = 8, seed: int = 0,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="freeze_omni_tpu/assets/vad.npz")
-    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--steps", type=int, default=900)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
     jax.config.update("jax_platforms", "cpu")

@@ -34,7 +34,7 @@ class TestLearnedVAD:
         import jax
 
         rng = np.random.RandomState(3)
-        wav, _ = tv.make_mixture(rng)
+        wav = tv.make_mixture(rng)[0]
         feats = tv.features(wav)
         vad = LearnedVAD(VADConfig())
         params_j = {k: np.asarray(v) for k, v in vad.params.items()}
@@ -91,7 +91,7 @@ class TestLearnedVAD:
         learned_pos, learned_neg = [], []
         energy_pos, energy_neg = [], []
         for _ in range(6):
-            wav, labels = tv.make_mixture(rng, seconds=2.0)
+            wav, labels, _w = tv.make_mixture(rng, seconds=2.0)
             lv = LearnedVAD(VADConfig(chunk_size=512))
             ev = EnergyVAD(VADConfig(chunk_size=512))
             fl, fs = tv.VAD_FBANK.frame_length, tv.VAD_FBANK.frame_shift
