@@ -184,12 +184,14 @@ class TestLearnedVAD:
         tpr = trigger_rate(pos, mk_l)
         print(f"per-category FPR (learned, energy): {fpr}; TPR {tpr}")
 
-        assert tpr >= 0.9
+        assert tpr >= 0.95
         for kind in ("white", "music", "bursts", "hum"):
             assert fpr[kind][0] <= 0.25, (kind, fpr[kind])
-        # babble shares speech acoustics; require a decisive margin over
-        # the energy gate rather than near-zero
-        assert fpr["babble"][0] <= 0.65, fpr["babble"]
+        # babble shares speech acoustics — the hardest negative family.
+        # VERDICT r3 #5 done-criterion: FPR <= 0.2 at TPR >= 0.95 (the r3
+        # model sat at 0.40; whole-clip babble negatives + 3x hard-negative
+        # loss weight + the wider GRU landed 0.125)
+        assert fpr["babble"][0] <= 0.2, fpr["babble"]
         assert fpr["babble"][0] < fpr["babble"][1]
 
     def test_make_vad_default_and_fallback(self):
