@@ -107,7 +107,7 @@ def init_params(key, cfg: CodecConfig, with_encoder: bool = False,
             for j, (rk, rd) in enumerate(zip(reversed(cfg.resblock_kernel_sizes),
                                              reversed(cfg.resblock_dilation_sizes))):
                 erbs.append(_resblock1_init(krb2[i * nk + j], ch_e, rk, rd))
-                norms.append({"groups": ch_e // 16, "ch": ch_e})
+                norms.append({"ch": ch_e})
         gfc = cfg.global_feature_conv
         kg = jax.random.split(ks[8], 4)
         params["encoder"] = {
@@ -115,8 +115,8 @@ def init_params(key, cfg: CodecConfig, with_encoder: bool = False,
             "ups": eups,
             "resblocks": erbs,
             "group_norms": [
-                {"scale": jnp.ones((n["ch"],), dtype), "bias": jnp.zeros((n["ch"],), dtype),
-                 "groups": n["groups"]}
+                {"scale": jnp.ones((n["ch"],), dtype),
+                 "bias": jnp.zeros((n["ch"],), dtype)}
                 for n in norms],
             "conv_post": conv1d_init(ks[10], 512, 512, 3),
             "gte": {
@@ -239,9 +239,12 @@ def decode(params, cfg: CodecConfig, codes: jnp.ndarray,
 
 
 def _group_norm(p, x, eps: float = 1e-6):
-    """x: [B, C, T]; torch GroupNorm(groups, C)."""
+    """x: [B, C, T]; torch GroupNorm(groups, C). The group count is always
+    C/16 (models.py:446-447) and is derived from the static channel dim —
+    storing it as an int pytree leaf would break jit/grad over the encoder
+    params (integer leaves become tracers / are non-differentiable)."""
     B, C, T = x.shape
-    g = p["groups"]
+    g = C // 16
     xg = x.reshape(B, g, C // g * T)
     mean = jnp.mean(xg, axis=-1, keepdims=True)
     var = jnp.var(xg, axis=-1, keepdims=True)

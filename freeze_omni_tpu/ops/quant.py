@@ -131,6 +131,17 @@ def init_quantized_llm(key, cfg, dtype=jnp.bfloat16, bits: int = 8) -> dict:
     serving use this instead."""
     import math
 
+    import numpy as np
+
+    # generation speed: the ~7e9 random elements of a 28-layer 7B init cost
+    # ~50 s (warm) under the default threefry PRNG on a v5e vs ~16 s under
+    # the hardware rbg implementation (measured A/B) — and this init IS the
+    # dominant term of serving warm-restart time (BENCH r3 warm_params 85 s).
+    # rbg stays deterministic per key; values differ from threefry, which is
+    # fine for random-weight init (nothing goldens these bytes).
+    data = np.asarray(jax.random.key_data(key)).ravel()
+    key = jax.random.key(int(data[-1]), impl="rbg")
+
     L, D = cfg.num_layers, cfg.hidden
     H, Hkv, dk = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     ks = jax.random.split(key, 10)

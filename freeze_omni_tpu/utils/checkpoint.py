@@ -288,8 +288,7 @@ def convert_codec(ckpt: dict, cfg: CodecConfig, with_encoder: bool = False) -> d
             for j in range(nk):
                 idx = i * nk + j
                 gns.append({"scale": _t(enc_sd[f"normalize.{idx}.weight"]),
-                            "bias": _t(enc_sd[f"normalize.{idx}.bias"]),
-                            "groups": ch // 16})
+                            "bias": _t(enc_sd[f"normalize.{idx}.bias"])})
         gfc = cfg.global_feature_conv
         out["encoder"] = {
             "conv_pre": _fold_weight_norm(enc_sd, "conv_pre"),
