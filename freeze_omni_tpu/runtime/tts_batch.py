@@ -24,6 +24,7 @@ within a session is preserved regardless).
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -92,6 +93,10 @@ class BatchedTTS:
         self.active = np.zeros((capacity,), bool)
         self.jobs: Dict[int, _Job] = {}   # row -> job
         self._free: List[int] = list(range(capacity))
+        # start/step run on the service tick thread, but close_session may
+        # cancel() from a websocket thread mid-step — row bookkeeping must
+        # not interleave
+        self._lock = threading.Lock()
         self._rng = jax.random.PRNGKey(seed)
         self._global_tokens = jnp.asarray(
             np.array(cfg.codec.global_tokens, np.int32)[None, None, :])
@@ -160,7 +165,8 @@ class BatchedTTS:
         """sentences: [(key, hidden [1,T,idim], prefix [1,P,idim]|None)].
         Starts as many as fit (in order); returns how many started. ONE
         bucketed preamble dispatch covers all started sentences."""
-        todo = sentences[: len(self._free)]
+        with self._lock:
+            todo = sentences[: len(self._free)]
         if not todo:
             return 0
         n = len(todo)
@@ -195,24 +201,27 @@ class BatchedTTS:
         else:
             rows = self._preamble_noprefix(hidden, h_mask)
 
-        idx = [self._free.pop(0) for _ in range(n)]
-        pad_idx = np.asarray(idx + [idx[0]] * (b - n))
-        r = np.asarray(list(range(n)) + [0] * (b - n))
-        self.state = self._scatter(self.state, rows, jnp.asarray(pad_idx),
-                                   jnp.asarray(r))
-        for i, (key, _h, _p) in enumerate(todo):
-            self.jobs[idx[i]] = _Job(key, idx[i],
-                                     self.cfg.codec_padding_size)
-            self.active[idx[i]] = True
+        with self._lock:
+            idx = [self._free.pop(0) for _ in range(n)]
+            pad_idx = np.asarray(idx + [idx[0]] * (b - n))
+            r = np.asarray(list(range(n)) + [0] * (b - n))
+            self.state = self._scatter(self.state, rows, jnp.asarray(pad_idx),
+                                       jnp.asarray(r))
+            for i, (key, _h, _p) in enumerate(todo):
+                self.jobs[idx[i]] = _Job(key, idx[i],
+                                         self.cfg.codec_padding_size)
+                self.active[idx[i]] = True
         return n
 
     def cancel(self, key) -> None:
-        """Drop all jobs with this key (barge-in)."""
-        for row, job in list(self.jobs.items()):
-            if job.key == key:
-                del self.jobs[row]
-                self.active[row] = False
-                self._free.append(row)
+        """Drop all jobs with this key (barge-in / session close).
+        Thread-safe against a concurrent step()."""
+        with self._lock:
+            for row, job in list(self.jobs.items()):
+                if job.key == key:
+                    del self.jobs[row]
+                    self.active[row] = False
+                    self._free.append(row)
 
     def step(self, n_steps: Optional[int] = None
              ) -> Dict[object, List[Tuple[np.ndarray, bool]]]:
@@ -226,11 +235,13 @@ class BatchedTTS:
         padding = cfg.codec_padding_size
         n_steps = n_steps or chunk
 
-        toks, self.state = self._decode(
-            self.params["decoder"], self._dcfg, self.state, self._next_key(),
-            n_steps=n_steps, top_k=cfg.top_k,
-            penalty_window=cfg.penalty_window_size, penalty=cfg.penalty,
-            active=jnp.asarray(self.active))
+        with self._lock:
+            toks, self.state = self._decode(
+                self.params["decoder"], self._dcfg, self.state,
+                self._next_key(), n_steps=n_steps, top_k=cfg.top_k,
+                penalty_window=cfg.penalty_window_size, penalty=cfg.penalty,
+                active=jnp.asarray(self.active))
+            jobs_now = list(self.jobs.items())
         toks = np.asarray(toks)
 
         dcfg = self._dcfg
@@ -238,7 +249,7 @@ class BatchedTTS:
         # (job, win, final, left-at-emit) — job.left mutates as later windows
         # of the same job queue up, so the trim offset is captured per window
         windows: List[Tuple[_Job, np.ndarray, bool, int]] = []
-        for row, job in list(self.jobs.items()):
+        for row, job in jobs_now:
             t = toks[row]
             stop = np.where((t == dcfg.eos_id) | (t == dcfg.pad_id))[0]
             if stop.size:
@@ -271,9 +282,11 @@ class BatchedTTS:
                     if job.pcm.shape[-1]:
                         out.setdefault(job.key, []).append((job.pcm, True))
                     job.finished = True
-                del self.jobs[row]
-                self.active[row] = False
-                self._free.append(row)
+                with self._lock:
+                    if self.jobs.get(row) is job:  # not cancelled mid-step
+                        del self.jobs[row]
+                        self.active[row] = False
+                        self._free.append(row)
 
         # batched vocode: group windows by padded token length (steady-state
         # windows share one shape; final flushes bucket to multiples of 10)
