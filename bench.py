@@ -366,12 +366,19 @@ def knee_detail(cfg, args, params, schedule=None):
                                                   round(second, 1)]
                 pip_d = min(pip_d, second)
             # mixed load: full duplex + 25% of sessions speaking (batched
-            # text continuation + pooled speech synthesis per tick)
-            mixed, n_speak = measure_mixed()
-            if mixed > 2.5 * p50_d:  # tunnel-stall plausibility re-measure
-                second, _ = measure_mixed()
-                remeasured["mixed"] = [round(mixed, 1), round(second, 1)]
-                mixed = min(mixed, second)
+            # text continuation + pooled speech synthesis per tick). A
+            # failure here (e.g. OOM from the extra TTS pool at the top
+            # stream counts) must not void the point's other measurements.
+            mixed_err = None
+            try:
+                mixed, n_speak = measure_mixed()
+                if mixed > 2.5 * p50_d:  # tunnel-stall plausibility re-check
+                    second, _ = measure_mixed()
+                    remeasured["mixed"] = [round(mixed, 1), round(second, 1)]
+                    mixed = min(mixed, second)
+            except Exception as e:
+                mixed, n_speak = float("nan"), 0
+                mixed_err = f"{type(e).__name__}: {str(e)[:200]}"
             point = {"streams": streams, "kv_len": kv_len,
                      "kv_quant_bits": kv_q,
                      "tick_p50_ms": round(p50, 1),
@@ -386,6 +393,8 @@ def knee_detail(cfg, args, params, schedule=None):
                      "duplex_pipelined_realtime_fraction":
                          round(pip_d / chunk_ms, 3),
                      "mixed_realtime_fraction": round(mixed / chunk_ms, 3)}
+            if mixed_err is not None:
+                point["mixed_error"] = mixed_err
             if remeasured:
                 # a genuinely slow regime that trips the plausibility
                 # heuristic must stay visible in the artifact (ADVICE r3):

@@ -101,9 +101,10 @@ class BatchedTTS:
         self._global_tokens = jnp.asarray(
             np.array(cfg.codec.global_tokens, np.int32)[None, None, :])
 
-        dparams = params["decoder"]
-
-        def preamble(hidden, h_mask, prefix, p_mask):
+        def preamble(dparams, hidden, h_mask, prefix, p_mask):
+            # dparams rides as an ARGUMENT: a closure capture would embed
+            # ~0.5 GB of decoder weights as HLO literals at flagship dims
+            # (observed as HTTP 413 from the remote-compile transport)
             dcfg_l = self._dcfg
             pre = sd.pre_nn(dparams, dcfg_l, hidden, h_mask)
             bos = sd.embedding(dparams["embedding"],
@@ -121,7 +122,8 @@ class BatchedTTS:
 
         self._preamble = jax.jit(preamble)
         self._preamble_noprefix = jax.jit(
-            lambda hidden, h_mask: preamble(hidden, h_mask, None, None))
+            lambda dparams, hidden, h_mask: preamble(dparams, hidden, h_mask,
+                                                     None, None))
         self._decode = jax.jit(
             sd.decode_segment,
             static_argnames=("cfg", "n_steps", "top_k", "penalty_window",
@@ -197,9 +199,11 @@ class BatchedTTS:
             p_mask = jnp.asarray(np.concatenate(
                 [p_masks, np.zeros((b, p_mask.shape[1] - p_max), bool)],
                 axis=1))
-            rows = self._preamble(hidden, h_mask, prefix, p_mask)
+            rows = self._preamble(self.params["decoder"], hidden, h_mask,
+                                  prefix, p_mask)
         else:
-            rows = self._preamble_noprefix(hidden, h_mask)
+            rows = self._preamble_noprefix(self.params["decoder"], hidden,
+                                           h_mask)
 
         with self._lock:
             idx = [self._free.pop(0) for _ in range(n)]
