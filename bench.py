@@ -317,7 +317,29 @@ def knee_detail(cfg, args, params, schedule=None):
                 one_tick()
                 one_tick()  # warmup/compile
                 lat = [one_tick() for _ in range(max(5, args.trials))]
-                return float(np.median(lat)), n_speak
+                # pipelined mixed (the production capacity mode): recognize
+                # tick, text continuation and pooled synthesis DISPATCH back
+                # to back, then one fetch wave — each stage's fetch overlaps
+                # the next stage's device compute (service.step pipelined
+                # path), vs three serialized dispatch+fetch round trips
+                n = max(10, 2 * args.trials)
+                submit(False, True)
+                prev = engine.tick_submit()
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    submit(False, True)
+                    h = engine.tick_submit()
+                    ch = engine.continue_segments_submit(dict(cont),
+                                                         n_steps=4)
+                    pd = pool.step_submit(n_steps=tts_steps)
+                    prev.deliver()
+                    ch.deliver()
+                    pd()
+                    refill()
+                    prev = h
+                pip_mixed = (time.perf_counter() - t0) * 1e3 / n
+                prev.deliver()
+                return float(np.median(lat)), pip_mixed, n_speak
 
             chunk_ms = cfg.duplex.gating.chunk_duration_s * 1e3
             tick(True)
@@ -371,13 +393,14 @@ def knee_detail(cfg, args, params, schedule=None):
             # stream counts) must not void the point's other measurements.
             mixed_err = None
             try:
-                mixed, n_speak = measure_mixed()
+                mixed, mixed_pip, n_speak = measure_mixed()
                 if mixed > 2.5 * p50_d:  # tunnel-stall plausibility re-check
-                    second, _ = measure_mixed()
+                    second, second_pip, _ = measure_mixed()
                     remeasured["mixed"] = [round(mixed, 1), round(second, 1)]
                     mixed = min(mixed, second)
+                    mixed_pip = min(mixed_pip, second_pip)
             except Exception as e:
-                mixed, n_speak = float("nan"), 0
+                mixed, mixed_pip, n_speak = float("nan"), float("nan"), 0
                 mixed_err = f"{type(e).__name__}: {str(e)[:200]}"
             point = {"streams": streams, "kv_len": kv_len,
                      "kv_quant_bits": kv_q,
@@ -386,13 +409,16 @@ def knee_detail(cfg, args, params, schedule=None):
                      "tick_pipelined_ms": round(pip, 1),
                      "tick_duplex_pipelined_ms": round(pip_d, 1),
                      "tick_mixed_p50_ms": round(mixed, 1),
+                     "tick_mixed_pipelined_ms": round(mixed_pip, 1),
                      "mixed_speaking_sessions": n_speak,
                      "realtime_fraction": round(p50 / chunk_ms, 3),
                      "duplex_realtime_fraction": round(p50_d / chunk_ms, 3),
                      "pipelined_realtime_fraction": round(pip / chunk_ms, 3),
                      "duplex_pipelined_realtime_fraction":
                          round(pip_d / chunk_ms, 3),
-                     "mixed_realtime_fraction": round(mixed / chunk_ms, 3)}
+                     "mixed_realtime_fraction": round(mixed / chunk_ms, 3),
+                     "mixed_pipelined_realtime_fraction":
+                         round(mixed_pip / chunk_ms, 3)}
             if mixed_err is not None:
                 point["mixed_error"] = mixed_err
             if remeasured:
@@ -796,8 +822,7 @@ def main():
                                          default=0),
                                      "max_mixed_realtime_streams": max(
                                          (p["streams"] for p in points
-                                          if p.get("mixed_realtime_fraction",
-                                                   9) <= 1),
+                                          if _best_rtf(p, "mixed_") <= 1),
                                          default=0)}}))
         return
     # the latency bench only exercises the user identity: alias the system
@@ -1083,7 +1108,7 @@ def main():
                  if _best_rtf(p, "duplex_") <= 1), default=0),
             "max_mixed_realtime_streams": None if knee is None else max(
                 (p["streams"] for p in knee
-                 if p.get("mixed_realtime_fraction", 9) <= 1), default=0),
+                 if _best_rtf(p, "mixed_") <= 1), default=0),
             "cold_warm": cold_warm,
             "note": "vs_baseline = ours/reference (<1 is faster), reported "
                     "only at the full 28-layer Qwen2-7B depth; fused = "

@@ -424,6 +424,16 @@ class ServingConfig:
     # scales): halves KV HBM vs bf16, which is what bounds kv_len at high
     # stream counts (VERDICT r3 missing #1). None/8.
     kv_quant_bits: Optional[int] = None
+    # donate the session-cache pool into every pool-swapping dispatch (tick
+    # steps, KV roll, slot writes) so the device updates it in place instead
+    # of holding input+output pools at once. None = auto: donate only when
+    # weights + TWO pools + working slack would not fit the chip's HBM (the
+    # 128-stream x kv_len-1024 int8 point needs it; smaller pools keep the
+    # faster non-donated dispatch — donation bookkeeping measured ~45 ms/tick
+    # slower through the tunneled device at 128 streams in r3). All pool
+    # dispatches are serialized under the engine lock, so donation cannot
+    # delete a buffer a concurrent reader still dispatches against.
+    donate_caches: Optional[bool] = None
     # batched sentence-synthesis pool rows (runtime/tts_batch.BatchedTTS):
     # concurrent in-flight sentences across ALL sessions; 0 = auto
     # (max(4, max_sessions // 4)). Sentences beyond capacity queue per

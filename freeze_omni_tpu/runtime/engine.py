@@ -28,6 +28,33 @@ from .session import SessionStore
 IDENTITIES = ("user", "system")
 
 
+def _tree_bytes(tree) -> int:
+    """Total bytes of a pytree of arrays/ShapeDtypeStructs (None and
+    non-array leaves contribute 0)."""
+    return sum(int(np.prod(l.shape)) * l.dtype.itemsize
+               for l in jax.tree.leaves(tree)
+               if hasattr(l, "shape") and hasattr(l, "dtype"))
+
+
+def _device_bytes_limit() -> Optional[int]:
+    """The default device's HBM capacity. CPU reports None (two pool copies
+    always 'fit' and donation stays off unless forced via
+    serving.donate_caches). TPU backends that do not expose memory_stats —
+    the tunneled axon device returns none — fall back to 16 GiB, the v5e/v6e
+    single-chip HBM; over-estimating capacity here OOMs the 128-stream int8
+    serving point, under-estimating merely turns donation on early."""
+    dev = jax.devices()[0]
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        stats = None
+    if stats and stats.get("bytes_limit"):
+        return int(stats["bytes_limit"])
+    if dev.platform == "cpu":
+        return None
+    return 16 * 2**30
+
+
 class PendingTick:
     """Handle for a dispatched-but-undelivered serving tick.
 
@@ -50,6 +77,31 @@ class PendingTick:
         if pending:
             self._engine._deliver_user(results, pending, probs)
         return results
+
+
+class PendingSegments:
+    """Handle for a dispatched-but-unfetched continue_segments batch.
+
+    The generation and the KV scatter-back are already enqueued; deliver()
+    blocks on the token/hidden fetch, updates the KV-length mirror, and
+    builds the {sid: (tokens, hiddens, done)} dict. Deliver at most once;
+    a second call returns {}."""
+
+    __slots__ = ("_engine", "_sids", "_rows", "_kept", "_arrays")
+
+    def __init__(self, engine, sids, rows, kept_slots, arrays):
+        self._engine = engine
+        self._sids = sids
+        self._rows = rows
+        self._kept = kept_slots
+        self._arrays = arrays
+
+    def deliver(self) -> Dict[str, Tuple[list, np.ndarray, bool]]:
+        arrays, self._arrays = self._arrays, None
+        if arrays is None or not self._sids:
+            return {}
+        return self._engine._deliver_segments(self._sids, self._rows,
+                                              self._kept, arrays)
 
 
 class ServingEngine:
@@ -97,8 +149,37 @@ class ServingEngine:
                       f"(rounded up to a multiple of the data axis {dp})",
                       file=sys.stderr)
                 max_sessions = rounded
+        # Donation decision BEFORE the pool is allocated: estimate whether
+        # weights + TWO pool copies (the non-donated steady state: every
+        # pool-swapping dispatch holds input and output at once) + working
+        # slack fit the device. If not, donate the pool into every
+        # pool-swapping dispatch so XLA updates it in place — this is what
+        # lets 128 sessions x kv_len 1024 int8 KV (4.1 GB pool) serve next
+        # to the 7.6 GB int8 weights on a 16 GB chip. Smaller pools keep the
+        # non-donated dispatch: donation bookkeeping measured ~45 ms/tick
+        # SLOWER through the tunneled device (r3 A/B at 128 streams), so it
+        # is bought only when it is the difference between running and OOM.
+        self._donate = cfg.serving.donate_caches
+        if self._donate is None:
+            pool_bytes = _tree_bytes(jax.eval_shape(
+                lambda: audio_llm.init_session(
+                    cfg.audio_llm, max_sessions, kv_dtype,
+                    cfg.serving.kv_quant_bits)))
+            params_bytes = _tree_bytes(self.core.params)
+            limit = _device_bytes_limit()
+            slack = 1.5 * 2**30  # activations, TTS pool, fetch staging
+            self._donate = bool(
+                limit is not None
+                and params_bytes + 2 * pool_bytes + slack > limit)
+            if self._donate:
+                import sys
+                print(f"serving: donating the session pool "
+                      f"(params {params_bytes / 2**30:.1f} GiB + 2x pool "
+                      f"{pool_bytes / 2**30:.1f} GiB would exceed "
+                      f"{limit / 2**30:.1f} GiB HBM)", file=sys.stderr)
         self.store = SessionStore(cfg.audio_llm, max_sessions, kv_dtype,
-                                  cfg.serving.kv_quant_bits)
+                                  cfg.serving.kv_quant_bits,
+                                  donate=self._donate)
         if mesh is not None:
             self.store.shard(mesh)
         # multi-host meshes: device_get of a 'data'-sharded result would fail
@@ -111,18 +192,23 @@ class ServingEngine:
 
             self._repl_out = jax.jit(lambda t: t,
                                      out_shardings=NamedSharding(mesh, P()))
-        # No donation ANYWHERE the session pool flows, deliberately. Two
-        # independent reasons, both measured: (1) donating the pool into the
-        # per-tick step was SLOWER through the tunneled device (128 streams,
-        # 28L int8: ~310 ms/tick donated vs ~265 ms undonated, back-to-back
-        # A/B) — the donation bookkeeping costs more than the ~4.6 ms pool
-        # copy it saves; (2) the engine is multithreaded and read-only pool
-        # references legitimately escape the lock (tick's post-step length
-        # fetch, export_session) — donating from a concurrent open_session
-        # or roll deleted a buffer mid-fetch ('Array has been deleted'
-        # ticker crashes under an 8-client load test).
+        # Donation policy (self._donate, decided above): OFF by default —
+        # two measured reasons: (1) donating the pool into the per-tick step
+        # was SLOWER through the tunneled device (128 streams, 28L int8:
+        # ~310 ms/tick donated vs ~265 ms undonated, back-to-back A/B) — the
+        # donation bookkeeping costs more than the ~4.6 ms pool copy it
+        # saves; (2) the engine is multithreaded and read-only pool
+        # references used to escape the lock (tick's post-step length fetch,
+        # export_session) — donating from a concurrent open_session or roll
+        # deleted a buffer mid-fetch ('Array has been deleted' ticker
+        # crashes under an 8-client load test). ON when two pool copies
+        # cannot coexist in HBM: all pool reads now derive their row copies
+        # (jnp.take) under self._lock before any donating dispatch can be
+        # enqueued, so ordering on the device stream keeps them safe.
+        donate_caches = ("caches",) if self._donate else ()
         self._recognize = jax.jit(
-            audio_llm.recognize_step, static_argnames=("cfg", "identity"))
+            audio_llm.recognize_step, static_argnames=("cfg", "identity"),
+            donate_argnames=donate_caches)
         # RLock: cache mutation sections nest (e.g. the roll-check callbacks
         # may re-enter engine methods on the tick thread). Every
         # read-modify-write of store.caches holds this lock so a concurrent
@@ -395,14 +481,15 @@ class ServingEngine:
             if self._dual is None:
                 # ONE LLM forward for both identities (user tokens first,
                 # same order as the serial path) — halves per-tick weight
-                # reads vs running recognize_step twice. No donation: see
-                # the _recognize comment in __init__.
+                # reads vs running recognize_step twice. Donation follows
+                # the _recognize policy in __init__.
                 self._dual = jax.jit(
                     lambda params, u_chunks, u_sl, u_active, s_chunks, s_sl,
                     s_active, u_prefix, s_prefix, caches:
                     audio_llm.recognize_step_dual(
                         params, acfg, u_chunks, u_sl, u_active, s_chunks,
-                        s_sl, s_active, u_prefix, s_prefix, caches))
+                        s_sl, s_active, u_prefix, s_prefix, caches),
+                    donate_argnames=("caches",) if self._donate else ())
             with self._lock, device_span("tick/dual"):
                 probs, caches = self._dual(
                     params, jnp.asarray(user[1]), jnp.asarray(user[3]),
@@ -508,12 +595,15 @@ class ServingEngine:
             np.maximum(target - self.store.prefix_len, 16),
             self.cfg.serving.kv_keep_recent).astype(np.int32)
         if self._roll is None:
-            # NOT donated: another thread may hold a read-only snapshot of
-            # the pool it grabbed outside the lock (tick's post-step length
-            # fetch, export_session) — donation deletes the buffer under it
-            # ('Array has been deleted' crashes, see session._set_row). The
-            # transient second pool during a roll is the accepted cost.
-            self._roll = jax.jit(qwen2.roll_kv, static_argnames=("cfg",))
+            # Donation follows the engine-wide policy (self._donate): off by
+            # default (the transient second pool during a roll is the
+            # accepted cost, and non-donated dispatch is faster through the
+            # tunnel), on when two pools cannot coexist in HBM — a roll at
+            # 128 sessions x 1024 int8 would otherwise OOM the very point
+            # the int8 cache exists to serve.
+            self._roll = jax.jit(
+                qwen2.roll_kv, static_argnames=("cfg",),
+                donate_argnames=("kv",) if self._donate else ())
         with self._lock:
             new_kv = self._roll(self.cfg.audio_llm.llm, self.store.caches.kv,
                                 jnp.asarray(self.store.prefix_len),
@@ -647,12 +737,26 @@ class ServingEngine:
         sessions (pow-2 bucketed like respond_fast_many); each session's KV
         row advances in place. `done` = the segment hit eod (tokens after it
         repeat eod and are not written to the cache)."""
+        return self.continue_segments_submit(last_tokens, n_steps,
+                                             rng).deliver()
+
+    def continue_segments_submit(self, last_tokens: Dict[str, int],
+                                 n_steps: int = 16, rng=None
+                                 ) -> "PendingSegments":
+        """Dispatch the batched text continuation WITHOUT fetching results.
+        The KV scatter-back is enqueued here (device-stream ordering keeps it
+        coherent with later ticks); the returned handle's deliver() blocks on
+        the token/hidden fetch and builds the per-session dict. Lets the
+        service overlap the continuation with the recognize tick and the
+        synthesis-pool advance — three device programs back to back, ONE
+        fetch wave, instead of three serialized dispatch+fetch round trips
+        (~34-55 ms of tunnel latency each)."""
         if not last_tokens:
-            return {}
+            return PendingSegments(self, [], [], [], None)
         self._maybe_roll_kv()
         pairs = self._resolve_slots(list(last_tokens))
         if not pairs:
-            return {}
+            return PendingSegments(self, [], [], [], None)
         sids = [sid for sid, _ in pairs]
         slots = [slot for _, slot in pairs]
         n = len(slots)
@@ -674,8 +778,12 @@ class ServingEngine:
         with self._lock:
             rows, kept_slots = self._still_current(pairs)
             self.store.scatter_kv_many(kept_slots, kv, rows=rows)
-        toks_np, hid_np, done_np, len_np = self._fetch(
-            (toks, hiddens, done, kv.length))
+        return PendingSegments(self, sids, rows, kept_slots,
+                               (toks, hiddens, done, kv.length))
+
+    def _deliver_segments(self, sids, rows, kept_slots, arrays):
+        toks_np, hid_np, done_np, len_np = self._fetch(arrays)
+        eod = self.core.tokenizer.eod_id
         with self._lock:  # mirror is shared across threads (ADVICE r3)
             if self._len_host is not None:
                 for i, slot in zip(rows, kept_slots):

@@ -146,13 +146,22 @@ class DuplexService:
             sessions = dict(self.sessions)
 
         for sid, fe in sessions.items():
-            # frontend stages (identical semantics to DuplexSession)
+            # frontend stages (identical semantics to DuplexSession). DRAIN
+            # the ring buffer rather than pulling one VAD window per tick:
+            # clients may stream faster than realtime (reconnect catch-up,
+            # accelerated replay), and at one window per tick the VAD falls
+            # behind arrival and IPU onsets surface seconds late — or never,
+            # within a bounded listen window. The VAD is host-side and cheap;
+            # the expensive engine step still consumes at most one serialized
+            # feature per identity per tick below.
             for identity in IDENTITIES:
-                chunk = fe.pcm[identity].pull(fe.vad[identity].get_chunk_size())
-                if chunk is None:
-                    continue
-                worked = True
-                self._vad_stage(fe, identity, chunk)
+                while True:
+                    chunk = fe.pcm[identity].pull(
+                        fe.vad[identity].get_chunk_size())
+                    if chunk is None:
+                        break
+                    worked = True
+                    self._vad_stage(fe, identity, chunk)
             # one serialized feature per identity per tick
             taken = set()
             while len(taken) < len(IDENTITIES):
@@ -206,6 +215,27 @@ class DuplexService:
             # dispatch (engine.respond_fast_many) instead of serial per-session
             # generations on the tick thread
             self._respond_fast_many(respondents)
+        if self._pipeline:
+            # capacity mode: the text continuation and the synthesis-pool
+            # advance DISPATCH back to back, then both deliver — the host
+            # pays one fetch wave per tick, and each stage's fetch overlaps
+            # the next stage's device compute. New sentences discovered by
+            # this tick's continuation start pooled jobs now and produce
+            # their first chunk next tick (a one-tick start deferral; the
+            # latency-oriented sync path below keeps same-tick starts).
+            cont_sub = self._continue_responses_submit()
+            tts_deliver = self._tts.step_submit() if self._tts is not None \
+                else None
+            if cont_sub is not None:
+                worked = self._continue_responses_deliver(cont_sub) or worked
+            if self._tts is not None:
+                with self._lock:
+                    sessions = dict(self.sessions)
+                starters = self._tts_starts(sessions)
+                emitted = tts_deliver()
+                self._tts_emit(sessions, emitted)
+                worked = worked or bool(emitted) or bool(starters)
+            return worked
         if self._continue_responses():
             worked = True
         if self._advance_tts():
@@ -333,20 +363,44 @@ class DuplexService:
         """One batched text segment for every session mid-response; completed
         sentences are synthesized and emitted, eod/cap ends the response.
         Returns True when any session advanced."""
+        sub = self._continue_responses_submit()
+        if sub is None:
+            return False
+        return self._continue_responses_deliver(sub)
+
+    def _continue_responses_submit(self):
+        """Dispatch the batched continuation; the deliver half fetches and
+        routes sentences. Split so the pipelined tick can overlap this with
+        the synthesis-pool advance (one fetch wave per tick instead of three
+        serialized dispatch+fetch round trips)."""
         with self._lock:
             sessions = dict(self.sessions)
         cont = {sid: fe.resp["last"] for sid, fe in sessions.items()
                 if fe.resp is not None and self.engine.store.has(sid)}
         if not cont:
-            return False
+            return None
         try:
-            out = self.engine.continue_segments(
+            handle = self.engine.continue_segments_submit(
                 cont, n_steps=self.cfg.duplex.resp_segment)
         except Exception as e:
-            for sid in cont:
-                sessions[sid].sink.emit(
-                    "error", {"where": "continue_response", "message": str(e)})
-                sessions[sid].resp = None
+            self._continue_error(sessions, cont, e)
+            return ()  # advanced (errored) — caller reports work done
+        return (handle, sessions, cont)
+
+    def _continue_error(self, sessions, cont, e) -> None:
+        for sid in cont:
+            sessions[sid].sink.emit(
+                "error", {"where": "continue_response", "message": str(e)})
+            sessions[sid].resp = None
+
+    def _continue_responses_deliver(self, sub) -> bool:
+        if sub == ():  # submit already errored and reported
+            return True
+        handle, sessions, cont = sub
+        try:
+            out = handle.deliver()
+        except Exception as e:
+            self._continue_error(sessions, cont, e)
             return True
         eod = self.engine.core.tokenizer.eod_id
         from ..duplex.responder import split_sentences
@@ -406,7 +460,14 @@ class DuplexService:
             return False
         with self._lock:
             sessions = dict(self.sessions)
-        # 1) start queued sentences, at most one in flight per session
+        starters = self._tts_starts(sessions)
+        # 2) one fused chunk for every in-flight sentence
+        emitted = self._tts.step()
+        self._tts_emit(sessions, emitted)
+        return bool(emitted) or bool(starters)
+
+    def _tts_starts(self, sessions) -> list:
+        """Start queued sentences, at most one in flight per session."""
         starters = []  # (fe, text, hids, gen)
         for sid, fe in sessions.items():
             if fe.tts_key is None and fe.tts_queue:
@@ -441,8 +502,9 @@ class DuplexService:
                     fe = sessions[sid]
                     fe.tts_queue.pop(0)
                     fe.tts_key = key
-        # 2) one fused chunk for every in-flight sentence
-        emitted = self._tts.step()
+        return starters
+
+    def _tts_emit(self, sessions, emitted) -> None:
         from ..frontend.wav import resample
 
         for key, chunks in emitted.items():
@@ -459,7 +521,6 @@ class DuplexService:
                     self._feedback_system_audio(fe, pcm16)
                 if final and fe.tts_key == key:
                     fe.tts_key = None
-        return bool(emitted) or bool(starters)
 
     def _feedback_system_audio(self, fe: _SessionFrontend,
                                pcm16: np.ndarray) -> None:

@@ -20,35 +20,44 @@ from ..config import AudioLLMConfig
 from ..models import audio_llm, qwen2
 
 
-@functools.partial(jax.jit, static_argnames=("batch_axes",))
-def _set_row(tree_new_row, tree_batched, slot, batch_axes):
+def _set_row_impl(tree_new_row, tree_batched, slot, batch_axes):
     """Write one row of a batched pytree. batch_axes mirrors the tree with the
     batch-axis index per leaf (a hashable NamedTuple — static). `slot` is
     traced so every slot shares one compiled program.
 
-    NOT donated, deliberately: the engine is multithreaded (websocket opens,
-    responder threads, the tick thread) and references to the current pool
-    legitimately escape the lock as read-only snapshots (e.g. tick's
-    post-step kv.length fetch). Donating here deleted a buffer another
-    thread was fetching — observed as 'Array has been deleted' ticker
-    crashes under an 8-client load test. The copy this costs is ~4.6 ms at
-    HBM speed of light and only runs at session open/reset/import."""
+    Two jitted variants below. The default is NOT donated: the engine is
+    multithreaded (websocket opens, responder threads, the tick thread) and
+    references to the current pool legitimately escape the lock as read-only
+    snapshots (e.g. tick's post-step kv.length fetch). Donating here deleted
+    a buffer another thread was fetching — observed as 'Array has been
+    deleted' ticker crashes under an 8-client load test. The copy this costs
+    is ~4.6 ms at HBM speed of light and only runs at session open/reset/
+    import. The donated variant exists for pools so large that input+output
+    copies cannot coexist in HBM (128 sessions x kv_len 1024 int8 = 4.1 GB
+    pool next to 7.6 GB int8 weights on a 16 GB chip); SessionStore(donate=
+    True) opts in, and the engine then guarantees every pool dispatch is
+    enqueued under its lock so no stale reference outlives the donation."""
     return jax.tree.map(
         lambda row, full, ax: jax.lax.dynamic_update_index_in_dim(
             full, row.astype(full.dtype), slot, ax),
         tree_new_row, tree_batched, batch_axes)
 
 
-@jax.jit
-def _scatter_kv_rows(full: qwen2.KVCache, new: qwen2.KVCache,
-                     idx, r) -> qwen2.KVCache:
+_set_row = jax.jit(_set_row_impl, static_argnames=("batch_axes",))
+_set_row_donated = jax.jit(_set_row_impl, static_argnames=("batch_axes",),
+                           donate_argnums=(1,))
+
+
+def _scatter_kv_rows_impl(full: qwen2.KVCache, new: qwen2.KVCache,
+                          idx, r) -> qwen2.KVCache:
     """Write selected rows `r` of a batch-B KVCache `new` into pool slots
     `idx`. One compiled program instead of the former eager moveaxis/set
-    chain (fewer tunneled dispatches); NOT donated — this runs every tick
-    while any session is speaking (continue_segments), and donating the pool
-    into per-tick dispatches measured slower on the tunneled device (see
-    engine.__init__). `idx` is padded by the caller to a fixed bucket length
-    (duplicate writes carry identical data, so order is irrelevant)."""
+    chain (fewer tunneled dispatches). `idx` is padded by the caller to a
+    fixed bucket length (duplicate writes carry identical data, so order is
+    irrelevant). Donation follows the same policy as _set_row_impl: off by
+    default (runs every tick while any session is speaking, and donating
+    per-tick dispatches measured slower on the tunneled device — see
+    engine.__init__), on for pools too large for two HBM copies."""
     kv_axes = qwen2.cache_axes(full)
 
     def put(n, f, ax):
@@ -58,6 +67,11 @@ def _scatter_kv_rows(full: qwen2.KVCache, new: qwen2.KVCache,
         return jnp.moveaxis(moved, 0, ax)
 
     return jax.tree.map(put, new, full, kv_axes)
+
+
+_scatter_kv_rows = jax.jit(_scatter_kv_rows_impl)
+_scatter_kv_rows_donated = jax.jit(_scatter_kv_rows_impl,
+                                   donate_argnums=(0,))
 
 
 def session_batch_axes(caches: audio_llm.SessionCaches):
@@ -79,10 +93,12 @@ def session_batch_axes(caches: audio_llm.SessionCaches):
 
 class SessionStore:
     def __init__(self, cfg: AudioLLMConfig, max_sessions: int,
-                 kv_dtype=jnp.float32, kv_quant_bits: Optional[int] = None):
+                 kv_dtype=jnp.float32, kv_quant_bits: Optional[int] = None,
+                 donate: bool = False):
         self.cfg = cfg
         self.max_sessions = max_sessions
         self.kv_quant_bits = kv_quant_bits
+        self.donate = bool(donate)
         self.caches = audio_llm.init_session(cfg, max_sessions, kv_dtype,
                                              kv_quant_bits)
         self._axes = session_batch_axes(self.caches)
@@ -143,8 +159,9 @@ class SessionStore:
             return jnp.take(leaf, 0, axis=ax) if ax is not None else leaf
 
         row_sq = jax.tree.map(lambda l, a: squeeze(l, a), row, self._axes)
-        self.caches = _set_row(row_sq, self.caches, jnp.asarray(slot),
-                               self._axes)
+        set_row = _set_row_donated if self.donate else _set_row
+        self.caches = set_row(row_sq, self.caches, jnp.asarray(slot),
+                              self._axes)
 
     def shard(self, mesh) -> None:
         """Place the whole cache tree on a ('data','model') mesh: session rows
@@ -207,8 +224,9 @@ class SessionStore:
             return jnp.take(leaf, 0, axis=ax) if ax is not None else leaf
 
         row_sq = jax.tree.map(squeeze, row, self._axes)
-        self.caches = _set_row(row_sq, self.caches, jnp.asarray(slot),
-                               self._axes)
+        set_row = _set_row_donated if self.donate else _set_row
+        self.caches = set_row(row_sq, self.caches, jnp.asarray(slot),
+                              self._axes)
 
     def gather_kv(self, slot: int) -> qwen2.KVCache:
         return self.gather_slot(slot).kv
@@ -241,5 +259,7 @@ class SessionStore:
         pad = B - len(slots)
         idx = jnp.asarray(list(slots) + [slots[0]] * pad)
         r = jnp.asarray(r_list + [r_list[0]] * pad)
-        new_kv = _scatter_kv_rows(self.caches.kv, kv, idx, r)
+        scatter = _scatter_kv_rows_donated if self.donate \
+            else _scatter_kv_rows
+        new_kv = scatter(self.caches.kv, kv, idx, r)
         self.caches = self.caches._replace(kv=new_kv)

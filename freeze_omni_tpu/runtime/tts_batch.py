@@ -232,12 +232,20 @@ class BatchedTTS:
         """Advance every active job by n_steps AR tokens (default: one codec
         chunk) in one dispatch; vocode/splice full windows. Returns
         {key: [(pcm24 [1,1,n], final), ...]} for PCM emitted this step."""
+        return self.step_submit(n_steps)()
+
+    def step_submit(self, n_steps: Optional[int] = None):
+        """Dispatch the pooled decode WITHOUT fetching tokens; returns a
+        zero-arg deliver callable producing step()'s result. The pool state
+        advances at submit time (device-stream ordering keeps later start()/
+        cancel() coherent); the token fetch + window/vocode/splice stage runs
+        at deliver. Lets the service tick overlap synthesis with the
+        recognize step and the text continuation instead of serializing
+        three dispatch+fetch round trips."""
         if not self.jobs:
-            return {}
+            return lambda: {}
         cfg = self.cfg
-        chunk = cfg.codec_chunk_size
-        padding = cfg.codec_padding_size
-        n_steps = n_steps or chunk
+        n_steps = n_steps or cfg.codec_chunk_size
 
         with self._lock:
             toks, self.state = self._decode(
@@ -246,6 +254,13 @@ class BatchedTTS:
                 penalty_window=cfg.penalty_window_size, penalty=cfg.penalty,
                 active=jnp.asarray(self.active))
             jobs_now = list(self.jobs.items())
+        return lambda: self._deliver_step(toks, jobs_now)
+
+    def _deliver_step(self, toks, jobs_now
+                      ) -> Dict[object, List[Tuple[np.ndarray, bool]]]:
+        cfg = self.cfg
+        chunk = cfg.codec_chunk_size
+        padding = cfg.codec_padding_size
         toks = np.asarray(toks)
 
         dcfg = self._dcfg

@@ -161,6 +161,15 @@ def make_mixture(rng: np.random.RandomState, seconds: float = 2.0):
     peak = np.abs(wav).max() + 1e-8
     if peak > 1.0:
         wav = wav / peak
+    if rng.rand() < 0.8:
+        # int16 quantization: deployed audio ALWAYS arrives s16le (websocket
+        # pcm_b64, wav files), and the quantization noise floor is broadband
+        # — spectrally it resembles the babble/noise negatives, so a model
+        # trained only on ideal float synthesis collapses on real client
+        # audio (measured: speech prob 0.88 float -> 0.10 after one int16
+        # round trip). Train mostly on the quantized grid, keeping a float
+        # minority so both presentations stay in-distribution.
+        wav = np.round(np.clip(wav, -1, 1) * 32767.0) / 32768.0
     fl, fs = VAD_FBANK.frame_length, VAD_FBANK.frame_shift
     m = 1 + (n - fl) // fs
     labels = np.array([gate[i * fs : i * fs + fl].mean() > 0.5

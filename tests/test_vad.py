@@ -194,6 +194,56 @@ class TestLearnedVAD:
         assert fpr["babble"][0] <= 0.2, fpr["babble"]
         assert fpr["babble"][0] < fpr["babble"][1]
 
+    def test_int16_quantization_robustness(self):
+        """Deployed audio ALWAYS arrives int16 (websocket s16le, wav files);
+        the quantization noise floor is broadband and spectrally resembles
+        the babble/noise negatives. The r4-early model collapsed on it
+        (speech prob 0.88 float -> 0.10 after one int16 round trip — every
+        real client stream was ignored); training now quantizes 80% of
+        mixtures (training/vad.py make_mixture). Assert detection AND
+        babble rejection survive the round trip, at the duplex engine's
+        224 ms window (the serving configuration, service._SessionFrontend)
+        and foreground amplitude."""
+        SR = 16000
+        chunk = 3584  # the gating chunk the duplex service feeds the VAD
+
+        def q(x):
+            return (np.round(np.clip(x, -1, 1) * 32767) / 32768.0
+                    ).astype(np.float32)
+
+        def statuses(wav):
+            v = LearnedVAD(VADConfig(chunk_size=chunk))
+            out = []
+            for i in range(0, len(wav) - chunk + 1, chunk):
+                out.append(v.predict({"audio": wav[i: i + chunk],
+                                      "time_stamp": i / SR})["status"])
+            return out
+
+        hits = 0
+        for i in range(6):
+            r = np.random.RandomState(900 + i)
+            wav = np.concatenate([
+                np.zeros(2 * chunk, np.float32),
+                r.uniform(0.2, 0.6) * tv.synth_speech(r, 4 * chunk),
+                np.zeros(2 * chunk, np.float32)])
+            st = statuses(q(wav))
+            if "ipu_sl" in st:
+                hits += 1
+        assert hits == 6, f"quantized speech detected {hits}/6"
+        # quantized babble must stay mostly rejected (<= the r4 target 0.2
+        # with slack for the tiny N here)
+        trig = 0
+        for i in range(6):
+            r = np.random.RandomState(1300 + i)
+            # background-level babble (the per-category eval's amplitude
+            # band); FOREGROUND babble at 0.5 still part-triggers at this
+            # coarse window — a crowd at talker level with no target speaker
+            # remains the open edge case (silero's too)
+            bab = q(r.uniform(0.05, 0.3) * tv.synth_babble(r, 8 * chunk))
+            if "ipu_sl" in statuses(bab):
+                trig += 1
+        assert trig <= 2, f"quantized babble triggered {trig}/6"
+
     def test_make_vad_default_and_fallback(self):
         v = make_vad(VADConfig())
         assert isinstance(v, LearnedVAD)  # packaged weights exist
