@@ -244,6 +244,8 @@ def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,
         .astype(jnp.int32) if quant else None
 
     def layer_fn(x, inputs):
+        """One transformer layer; inputs carry THIS layer's params and cache
+        slices [B, S, Hkv, dk]; returns (hidden, updated cache slices)."""
         lp, lo = inputs["lp"], inputs.get("lora")
         k_cache, v_cache = inputs["k"], inputs["v"]  # [B, S, Hkv, dk]
 
@@ -302,12 +304,38 @@ def forward(params, cfg: LLMConfig, embeds: jnp.ndarray, mask: jnp.ndarray,
         stacked = {key: jnp.stack([o[key] for o in outs])
                    for key in outs[0]}
     else:
-        xs = {"lp": params["layers"], "k": cache.k, "v": cache.v}
+        # The FULL stacked cache rides the scan as CARRY, each iteration
+        # dynamic-slicing its layer in and dynamic-update-slicing it back.
+        # NOT as xs/stacked-ys: scan materializes ys into a freshly
+        # allocated [L, ...] buffer, so a cache-as-ys program holds TWO
+        # full cache copies (plus, under buffer donation, a same-size
+        # defensive temp — measured 4.1 GiB out + 4.2 GiB temp on the
+        # 128-session x 1024-slot int8 pool, the allocation that OOMed the
+        # 16 GB chip). A carry updated at a loop-dependent index is the
+        # in-place pattern XLA's loop aliasing handles: temp drops to the
+        # per-layer working set and a donated pool updates truly in place.
+        cache_carry = {"k": cache.k, "v": cache.v}
         if quant:
-            xs.update(ks=cache.k_scale, vs=cache.v_scale)
+            cache_carry.update(ks=cache.k_scale, vs=cache.v_scale)
+        xs = {"lp": params["layers"]}
         if lora is not None:
             xs["lora"] = lora
-        x, stacked = jax.lax.scan(layer_fn, embeds, xs)
+
+        def scan_fn(carry, inputs):
+            x, caches, i = carry
+            inp = dict(inputs)
+            for key, full in caches.items():
+                inp[key] = jax.lax.dynamic_index_in_dim(full, i, 0,
+                                                        keepdims=False)
+            x, oc = layer_fn(x, inp)
+            caches = {
+                key: jax.lax.dynamic_update_index_in_dim(
+                    caches[key], oc[key], i, 0)
+                for key in caches}
+            return (x, caches, i + 1), None
+
+        (x, stacked, _), _ = jax.lax.scan(
+            scan_fn, (embeds, cache_carry, jnp.asarray(0, jnp.int32)), xs)
     x = rms_norm(params["final_norm"], x, cfg.rms_eps)
 
     new_cache = KVCache(k=stacked["k"], v=stacked["v"],
