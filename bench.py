@@ -304,6 +304,12 @@ def knee_detail(cfg, args, params, schedule=None):
 
                 cont = {f"s{i}": 5 for i in range(n_speak)}
                 tts_steps = max(1, (c.tts.codec_chunk_size + 3) // 4)
+                # pre-compile the pool's whole shape closure (preamble job
+                # buckets, scatter, vocoder window x pow-2 group sizes):
+                # without this, jobs finishing/refilling INSIDE the timed
+                # loops hit flagship-size compiles (observed 10.3 s/tick on
+                # the pipelined mixed row)
+                pool.warmup(decode_steps=(tts_steps,))
 
                 def one_tick():
                     submit(False, True)

@@ -87,6 +87,11 @@ def get_args(argv=None):
                         "speaks back (response_text/response_audio events)")
     p.add_argument("--resp_threshold", type=float, default=None,
                    help="override dialog_state_decision.resp_threshold")
+    p.add_argument("--no_tts_warmup", action="store_true",
+                   help="skip pre-compiling the synthesis pool's shape "
+                        "closure at boot (--engine --respond): faster boot, "
+                        "but the first spoken sentence compiles flagship-size "
+                        "programs on the tick thread (multi-second stall)")
     p.add_argument("--http_port", type=int, default=0,
                    help="also serve the monitoring GUI (monitor.html) over "
                         "HTTP on this port")
@@ -334,6 +339,13 @@ class Server:
                                              tokenizer=self._tokenizer,
                                              mesh=mesh, kv_dtype=kv_dtype)
             self.pipeline = None
+            if svc_tts is not None and not args.no_tts_warmup:
+                import time as _t
+
+                t0 = _t.time()
+                n = self.service.warmup_synthesis()
+                print(f"synthesis pool warmup: {n} programs in "
+                      f"{_t.time() - t0:.1f}s", flush=True)
             self._svc_stop = threading.Event()
 
             def ticker():

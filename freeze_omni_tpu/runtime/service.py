@@ -97,6 +97,17 @@ class DuplexService:
 
     # ------------------------------------------------------------------
 
+    def warmup_synthesis(self) -> int:
+        """Pre-compile the synthesis pool's steady-state shape closure
+        (BatchedTTS.warmup). Without it the first sentence to emit/finish a
+        vocoder window compiles a flagship-size program ON the tick thread —
+        a multi-second mid-conversation stall. Call once at boot (bin/serve
+        does, unless --no_tts_warmup). Returns programs touched (0 when the
+        service has no synthesis pool)."""
+        if self._tts is None:
+            return 0
+        return self._tts.warmup()
+
     def open_session(self, sid: str, role: Optional[str] = None,
                      sink: Optional[EventSink] = None,
                      user_ipu_outlets: Optional[List] = None) -> EventSink:

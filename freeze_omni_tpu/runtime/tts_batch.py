@@ -162,6 +162,90 @@ class BatchedTTS:
         self._global_tokens = jnp.asarray(
             np.asarray(tokens, np.int32).reshape(1, 1, -1))
 
+    # ------------------------------------------------------------------
+
+    def _steady_pads(self) -> List[int]:
+        """The /10-padded vocoder window lengths steady state produces:
+        first window (chunk+padding), steady window (padding+chunk+padding),
+        and every possible final-flush length below them."""
+        cfg = self.cfg
+        top = ((cfg.codec_padding_size * 2 + cfg.codec_chunk_size + 9)
+               // 10) * 10
+        return list(range(10, top + 1, 10))
+
+    def warmup(self, batches: Optional[List[int]] = None,
+               t_buckets: Tuple[int, ...] = (BUCKET,),
+               p_buckets: Optional[Tuple[int, ...]] = None,
+               vocode_shapes: Optional[List[Tuple[int, int]]] = None,
+               decode_steps: Optional[Tuple[int, ...]] = None) -> int:
+        """Pre-compile every device program the pool reaches in steady state.
+
+        Without this, the FIRST sentence to emit a window / finish / start
+        after others finished triggers a flagship-size XLA compile on the
+        service tick thread — tens of seconds of stall mid-conversation
+        (observed: the capacity bench's pipelined mixed row averaged 10.3 s
+        per tick because the steady-window vocoder shape compiled inside the
+        timed loop). The shape closure is bounded by design — pow-2 job
+        buckets, BUCKET-padded hidden/prefix, /10-padded vocoder windows,
+        pow-2 vocode group sizes — so it can be enumerated here. Returns the
+        number of program invocations touched.
+
+        batches: preamble/scatter job-bucket sizes (default: every pow-2 up
+          to capacity). t_buckets/p_buckets: padded hidden/prefix lengths,
+          multiples of BUCKET (p_buckets defaults to t_buckets when the
+          decoder uses prefix KV). vocode_shapes: (n_pad, group) pairs
+          (default: every steady/flush window length x every pow-2 group up
+          to capacity). decode_steps: n_steps values for the pooled decode
+          (default: one codec chunk; callers stepping fractional chunks —
+          e.g. the service's 1/4-chunk cadence — pass theirs)."""
+        dcfg = self._dcfg
+        n = 0
+        cap2 = 1 << (self.capacity - 1).bit_length()
+        if batches is None:
+            batches = [1 << i for i in range((self.capacity - 1).bit_length()
+                                             + 1)]
+        if p_buckets is None:
+            p_buckets = t_buckets if dcfg.use_prefix_kv else ()
+        for st in decode_steps or (self.cfg.codec_chunk_size,):
+            toks, _ = self._decode(
+                self.params["decoder"], dcfg, self.state,
+                jax.random.PRNGKey(0), n_steps=int(st),
+                top_k=self.cfg.top_k,
+                penalty_window=self.cfg.penalty_window_size,
+                penalty=self.cfg.penalty,
+                active=jnp.zeros((self.capacity,), bool))
+            jax.block_until_ready(toks)  # state discarded: pool untouched
+            n += 1
+        for b in batches:
+            for t in t_buckets:
+                hidden = jnp.zeros((b, t, dcfg.idim), jnp.float32)
+                h_mask = jnp.ones((b, t), bool)
+                rows = self._preamble_noprefix(self.params["decoder"],
+                                               hidden, h_mask)
+                n += 1
+                for p in p_buckets:
+                    prefix = jnp.zeros((b, p, dcfg.idim), jnp.float32)
+                    p_mask = jnp.ones((b, p), bool)
+                    rows = self._preamble(self.params["decoder"], hidden,
+                                          h_mask, prefix, p_mask)
+                    n += 1
+            idx = jnp.zeros((b,), jnp.int32)
+            r = jnp.zeros((b,), jnp.int32)
+            jax.block_until_ready(
+                self._scatter(self.state, rows, idx, r))  # result discarded
+            n += 1
+        if vocode_shapes is None:
+            vocode_shapes = [(pad, 1 << i) for pad in self._steady_pads()
+                             for i in range(cap2.bit_length())]
+        for n_pad, m in vocode_shapes:
+            codes = jnp.zeros((m, n_pad, 1), jnp.int32)
+            gt = jnp.broadcast_to(self._global_tokens,
+                                  (m,) + self._global_tokens.shape[1:])
+            jax.block_until_ready(
+                self._vocode(self.params["codec"], self.cfg.codec, codes, gt))
+            n += 1
+        return n
+
     def start(self, sentences: List[Tuple[object, np.ndarray,
                                           Optional[np.ndarray]]]) -> int:
         """sentences: [(key, hidden [1,T,idim], prefix [1,P,idim]|None)].
@@ -316,7 +400,10 @@ class BatchedTTS:
         up = cfg.codec.upsample_rate
         syns: Dict[int, np.ndarray] = {}
         for n_pad, members in groups.items():
-            m = len(members)
+            # pow-2 group size: a new group size must not mean a new vocoder
+            # compile (batch rows are independent, padded rows are discarded;
+            # the warmup() closure covers pow-2 group sizes)
+            m = 1 << (len(members) - 1).bit_length()
             codes = np.zeros((m, n_pad), np.int32)
             for j, i in enumerate(members):
                 win = windows[i][1]

@@ -105,6 +105,39 @@ class TestBatchedTTSParity:
         # b either emitted audio or legitimately stopped at an early eos
         assert pool.n_active == 0
 
+    def test_warmup_covers_steady_state_shapes(self):
+        """After warmup(), driving the pool end-to-end — starts at several
+        batch sizes (with and without prefix), pooled decode steps, steady
+        windows, final flushes, refills after frees — must trigger ZERO new
+        XLA compiles. That is warmup's whole contract: no flagship-size
+        compile ever lands on the service tick thread mid-conversation."""
+        cfg, params = _setup(max_tokens=48)
+        pool = BatchedTTS(params, cfg, capacity=4, seed=0)
+        assert pool.warmup() > 0
+        fns = {"preamble": pool._preamble,
+               "preamble_noprefix": pool._preamble_noprefix,
+               "decode": pool._decode, "vocode": pool._vocode,
+               "scatter": pool._scatter}
+        before = {k: f._cache_size() for k, f in fns.items()}
+        rng = np.random.RandomState(4)
+
+        def mk(t):
+            return rng.randn(1, t, cfg.decoder.idim).astype(np.float32)
+
+        assert pool.start([("a", mk(6), mk(3))]) == 1
+        for _ in range(3):
+            pool.step()
+        assert pool.start([("b", mk(5), None), ("c", mk(7), mk(2)),
+                           ("d", mk(4), mk(4))]) == 3
+        for _ in range(200):
+            pool.step()
+            if pool.n_active == 0:
+                break
+        assert pool.n_active == 0
+        after = {k: f._cache_size() for k, f in fns.items()}
+        assert after == before, \
+            f"steady state compiled new programs: {before} -> {after}"
+
     def test_capacity_limit(self):
         cfg, params = _setup()
         rng = np.random.RandomState(3)
