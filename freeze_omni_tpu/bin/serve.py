@@ -428,9 +428,18 @@ class Server:
                             svc_sid = None
                         try:
                             self.service.open_session(sid, sink=sink)
-                        except RuntimeError as e:  # e.g. no free session slots
-                            await ws.send(json.dumps(
-                                {"event": "error", "message": str(e)}))
+                        except RuntimeError as e:  # no free slots / device OOM
+                            from freeze_omni_tpu.runtime.engine import \
+                                CapacityError
+
+                            err = {"event": "error", "message": str(e)}
+                            if isinstance(e, CapacityError):
+                                # structured capacity refusal (VERDICT r4 #5):
+                                # clients can distinguish "server full, retry
+                                # elsewhere/later" from a protocol error
+                                err["kind"] = "capacity"
+                                err["active_sessions"] = e.active_sessions
+                            await ws.send(json.dumps(err))
                             continue
                         svc_sid = sid
                     else:

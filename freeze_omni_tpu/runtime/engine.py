@@ -28,6 +28,29 @@ from .session import SessionStore
 IDENTITIES = ("user", "system")
 
 
+class CapacityError(RuntimeError):
+    """Device memory exhausted by session state.
+
+    A structured capacity signal (VERDICT r4 #5): raised instead of letting a
+    raw XlaRuntimeError(RESOURCE_EXHAUSTED) crash the tick thread or a
+    websocket handler. Carries the active-session count so servers can emit a
+    meaningful refusal and benches can record the knee's last point as a
+    capacity limit instead of a crash."""
+
+    def __init__(self, msg: str, active_sessions: Optional[int] = None):
+        super().__init__(msg)
+        self.active_sessions = active_sessions
+
+
+def is_oom(e: BaseException) -> bool:
+    """Heuristically classify a runtime error as device-memory exhaustion.
+    XLA surfaces OOM as XlaRuntimeError with RESOURCE_EXHAUSTED / 'out of
+    memory' text; there is no typed exception to catch."""
+    s = f"{type(e).__name__}: {e}"
+    return ("RESOURCE_EXHAUSTED" in s or "out of memory" in s.lower()
+            or "Out of memory" in s)
+
+
 def _tree_bytes(tree) -> int:
     """Total bytes of a pytree of arrays/ShapeDtypeStructs (None and
     non-array leaves contribute 0)."""
@@ -246,6 +269,25 @@ class ServingEngine:
 
     def open_session(self, sid: str, role: Optional[str] = None,
                      on_prediction: Optional[Callable] = None) -> int:
+        try:
+            return self._open_session(sid, role, on_prediction)
+        except Exception as e:
+            if not is_oom(e):
+                raise
+            # device OOM on the role prefill or the pool seed write: refuse
+            # the session with a structured signal instead of crashing the
+            # caller with a raw XlaRuntimeError, and leave no half-open slot
+            try:
+                self.close_session(sid)
+            except Exception:
+                pass
+            raise CapacityError(
+                f"device memory exhausted opening session {sid!r} "
+                f"({self.num_active} active)",
+                active_sessions=self.num_active) from e
+
+    def _open_session(self, sid: str, role: Optional[str],
+                      on_prediction: Optional[Callable]) -> int:
         role = role or self.cfg.duplex.default_prompt
         if role not in self._role_kv_cache:
             kv = self.core.role_kv(role)
@@ -421,13 +463,27 @@ class ServingEngine:
         """fbank_chunk: [1, T_f, 80]. One chunk per (session, identity, tick);
         a second submit before the tick overwrites (the reference's serializer
         guarantees ordering upstream)."""
+        chunk = np.asarray(fbank_chunk, np.float32)
         with self._lock:
             # resolve + write atomically: close_session/open_session (same
             # lock) may recycle this slot, and a stale chunk must never be
             # attributed to the slot's new occupant
             slot = self.store.slot_of(sid)
-            self._pending[identity][slot] = (np.asarray(fbank_chunk, np.float32),
-                                             bool(is_sl))
+            pending = self._pending[identity]
+            # one tick = ONE padded batch array per identity: a chunk whose
+            # [T, F] differs from already-pending chunks would mis-index rows
+            # in _gather_pending (it sizes the batch off the first chunk).
+            # The gating frontend emits fixed frames_per_step chunks, so a
+            # mismatch is caller error — reject it loudly on the caller's
+            # thread, never corrupt the tick
+            if pending:
+                prev = next(iter(pending.values()))[0]
+                if prev.shape[1:] != chunk.shape[1:]:
+                    raise ValueError(
+                        f"mixed chunk shapes in one tick: pending "
+                        f"{prev.shape} vs submitted {chunk.shape} for "
+                        f"sid={sid!r} identity={identity!r}")
+            pending[slot] = (chunk, bool(is_sl))
 
     def _gather_pending(self, identity: str):
         """Drain one identity's pending chunks into padded batch arrays."""
@@ -468,6 +524,17 @@ class ServingEngine:
         known host-side (chunk tokens + prefix when is_sl) — so delivery
         needs no device length fetch and a late deliver can never let the
         roll check run on stale lengths."""
+        try:
+            return self._tick_submit()
+        except Exception as e:
+            if not is_oom(e):
+                raise
+            raise CapacityError(
+                f"device memory exhausted in the serving tick "
+                f"({self.num_active} active sessions)",
+                active_sessions=self.num_active) from e
+
+    def _tick_submit(self) -> "PendingTick":
         self._maybe_roll_kv()
         user = self._gather_pending("user")
         system = self._gather_pending("system")
@@ -551,7 +618,17 @@ class ServingEngine:
         NOT refreshed here: submit-time accounting is exact, and a fetch
         captured at dispatch time would be stale by delivery under the
         double-buffered path (later dispatches may already have appended)."""
-        probs = self._fetch(probs)
+        try:
+            probs = self._fetch(probs)
+        except Exception as e:
+            if not is_oom(e):
+                raise
+            # async dispatch: an OOM raised by the device often surfaces at
+            # the fetch, not the enqueue — same structured signal either way
+            raise CapacityError(
+                f"device memory exhausted delivering tick predictions "
+                f"({self.num_active} active sessions)",
+                active_sessions=self.num_active) from e
         out = {}
         for slot in pending:
             pred = {"state_1": float(probs[slot, 1]),

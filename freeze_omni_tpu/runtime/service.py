@@ -508,11 +508,21 @@ class DuplexService:
                 jobs.append(((sid, gen), hidden, prefix))
             if jobs:
                 n = self._tts.start(jobs)
-                for (key, _h, _p), j in zip(jobs, range(n)):
-                    sid = key[0]
-                    fe = sessions[sid]
-                    fe.tts_queue.pop(0)
-                    fe.tts_key = key
+                # assign tts_key under the lock and re-check membership:
+                # close_session (websocket thread) pops the session and
+                # cancels fe.tts_key — if it ran between start() and the
+                # assignment it would cancel None and the pool row would leak
+                # for the sentence's full duration. A session that closed
+                # mid-start gets its fresh job cancelled here instead.
+                with self._lock:
+                    for (key, _h, _p), j in zip(jobs, range(n)):
+                        sid = key[0]
+                        fe = sessions[sid]
+                        if self.sessions.get(sid) is not fe:
+                            self._tts.cancel(key)
+                            continue
+                        fe.tts_queue.pop(0)
+                        fe.tts_key = key
         return starters
 
     def _tts_emit(self, sessions, emitted) -> None:

@@ -358,10 +358,24 @@ class BatchedTTS:
             if stop.size:
                 t = t[: stop[0]]
                 job.done_decode = True
+            # trim to the token budget BEFORE buffering: StreamingTTS.run
+            # clamps n_steps to the remaining budget, so tokens past
+            # max_tokens must never reach the buffer (parity + no wasted
+            # vocode work)
+            budget = cfg.max_tokens - job.total
+            if t.shape[0] >= budget:
+                t = t[:budget]
+                job.done_decode = True
             job.total += t.shape[0]
             job.buf = np.concatenate([job.buf, t.astype(np.int64)])
-            while not job.done_decode and \
-                    job.buf.shape[0] >= job.left + chunk + job.right:
+            # extract steady windows regardless of done_decode: window
+            # boundaries are a function of the token COUNT alone (tts.py run
+            # loop fills to exactly left+chunk+right before each extraction),
+            # so a pre-eos full window must still come out as a steady chunk.
+            # This also bounds the final flush to < left+chunk+right tokens —
+            # within the warmup()/_steady_pads shape closure (a longer flush
+            # would compile a flagship-size vocoder program mid-conversation)
+            while job.buf.shape[0] >= job.left + chunk + job.right:
                 win = job.buf[: job.left + chunk + job.right]
                 rest = job.buf[job.left + chunk + job.right:]
                 new_left = padding
@@ -369,21 +383,17 @@ class BatchedTTS:
                     [win[-(new_left + job.right):], rest])
                 windows.append((job, win, False, job.left))
                 job.left = new_left
-            if job.total >= cfg.max_tokens:
-                # token budget reached: flush below. The cap applies AFTER
-                # window extraction so the final flush holds at most one
-                # window — the same boundaries StreamingTTS.run produces
-                # (its decode loop never lets the buffer exceed a window)
-                job.done_decode = True
             if job.done_decode:
                 if job.buf.shape[0] > 0:
                     windows.append((job, job.buf, True, job.left))
                     job.buf = np.zeros((0,), np.int64)
                 else:
-                    # nothing left to vocode: emit whatever the seam buffer
-                    # holds so the splice tail is not lost
-                    if job.pcm.shape[-1]:
-                        out.setdefault(job.key, []).append((job.pcm, True))
+                    # nothing left to vocode: still emit a FINAL marker (with
+                    # whatever the seam buffer holds, possibly empty) — the
+                    # service clears fe.tts_key only on a final entry, and an
+                    # immediate-eos job that emitted nothing would otherwise
+                    # block that session's synthesis forever
+                    out.setdefault(job.key, []).append((job.pcm, True))
                     job.finished = True
                 with self._lock:
                     if self.jobs.get(row) is job:  # not cancelled mid-step

@@ -327,6 +327,70 @@ class TestEngineRespond:
         assert engine.store.kv_length(engine.store.slot_of("s2")) > 0
 
 
+class TestCapacityBoundary:
+    """Device OOM surfaces as a structured CapacityError, never a raw
+    XlaRuntimeError crash (VERDICT r4 #5). OOM is simulated by patching the
+    device-touching member with one that raises RESOURCE_EXHAUSTED text —
+    the same shape XLA produces — since a real OOM needs a full chip."""
+
+    def _oom(self, *a, **k):
+        raise RuntimeError(
+            "RESOURCE_EXHAUSTED: Out of memory allocating 1234567890 bytes.")
+
+    def test_open_session_oom_is_capacity_error(self):
+        from freeze_omni_tpu.runtime.engine import CapacityError
+
+        engine = ServingEngine(tiny_system(), seed=0)
+        engine.core.role_kv = self._oom
+        with pytest.raises(CapacityError) as ei:
+            engine.open_session("s1", role="a role not yet cached")
+        assert ei.value.active_sessions == 0
+        # the engine stays usable: the default role is cached by _Core init?
+        # no — prove recovery by restoring the real method
+        engine.core.role_kv = type(engine.core).role_kv.__get__(engine.core)
+        engine.open_session("s2")
+        assert engine.num_active == 1
+
+    def test_tick_oom_is_capacity_error(self):
+        from freeze_omni_tpu.runtime.engine import CapacityError
+
+        engine = ServingEngine(tiny_system(), seed=0)
+        engine.open_session("s1")
+        engine.submit_chunk("s1", "user", _chunks(9, 1)[0], is_sl=True)
+        engine._recognize = self._oom
+        with pytest.raises(CapacityError) as ei:
+            engine.tick()
+        assert ei.value.active_sessions == 1
+
+    def test_non_oom_errors_pass_through(self):
+        engine = ServingEngine(tiny_system(), seed=0)
+        engine.open_session("s1")
+        engine.submit_chunk("s1", "user", _chunks(9, 1)[0], is_sl=True)
+
+        def bad(*a, **k):
+            raise ValueError("unrelated bug")
+
+        engine._recognize = bad
+        with pytest.raises(ValueError):
+            engine.tick()
+
+    def test_mixed_chunk_shapes_rejected_loudly(self):
+        """One tick = one padded batch per identity: a chunk whose [T,F]
+        differs from already-pending chunks must be rejected at submit time
+        (VERDICT r4 weak #6), not silently mis-indexed."""
+        engine = ServingEngine(tiny_system(), seed=0)
+        engine.open_session("s1")
+        engine.open_session("s2")
+        engine.submit_chunk("s1", "user", _chunks(9, 1, t=32)[0], is_sl=True)
+        with pytest.raises(ValueError, match="mixed chunk shapes"):
+            engine.submit_chunk("s2", "user", _chunks(9, 1, t=16)[0],
+                                is_sl=True)
+        # the uniform-shape tick still works
+        engine.submit_chunk("s2", "user", _chunks(9, 1, t=32)[0], is_sl=True)
+        out = engine.tick()
+        assert len(out["user"]) == 2
+
+
 class TestPipelinePool:
     def test_pool_api_parity(self):
         cfg = tiny_system()

@@ -147,6 +147,69 @@ class TestBatchedTTSParity:
         assert pool.start(jobs) == 2
         assert pool.n_free == 0
 
+    def test_immediate_eos_emits_final_marker(self):
+        """A job whose FIRST sampled token is eos must still deliver a
+        (pcm, final=True) entry — the service clears fe.tts_key only on a
+        final entry; a silent finish would block that session's synthesis
+        forever (ADVICE r4 medium #1)."""
+        cfg, params = _setup()
+        rng = np.random.RandomState(5)
+        hidden = rng.randn(1, 5, cfg.decoder.idim).astype(np.float32)
+        pool = BatchedTTS(params, cfg, capacity=2, seed=0)
+        assert pool.start([("k", hidden, None)]) == 1
+        row = next(iter(pool.jobs))
+        toks = np.full((pool.capacity, 4), cfg.decoder.eos_id, np.int32)
+        out = pool._deliver_step(toks, list(pool.jobs.items()))
+        assert "k" in out, "immediate-eos job delivered no final marker"
+        pcm, final = out["k"][-1]
+        assert final and pcm.size == 0
+        assert pool.n_active == 0 and row in pool._free
+
+    def test_pre_eos_window_extracts_before_flush(self):
+        """Tokens completing a full steady window in the same step as eos
+        must come out as a steady window + small flush: window boundaries
+        depend on token COUNT alone (tts.py run loop), and a flush larger
+        than left+chunk+right would fall outside the warmup() vocoder shape
+        closure (ADVICE r4 medium #2)."""
+        cfg, params = _setup()
+        cfg = dataclasses.replace(cfg, seam_threshold=1e9)  # force emission
+        rng = np.random.RandomState(6)
+        hidden = rng.randn(1, 5, cfg.decoder.idim).astype(np.float32)
+        pool = BatchedTTS(params, cfg, capacity=1, seed=0)
+        assert pool.start([("k", hidden, None)]) == 1
+        job = next(iter(pool.jobs.values()))
+        chunk, pad = cfg.codec_chunk_size, cfg.codec_padding_size
+        window = job.left + chunk + job.right
+        # one full window of valid tokens, then eos in the SAME step
+        t = np.full((pool.capacity, window + 3), 1, np.int32)
+        t[:, window] = cfg.decoder.eos_id
+        out = pool._deliver_step(t, list(pool.jobs.items()))
+        entries = out["k"]
+        assert entries[-1][1] is True
+        assert len(entries) == 2, "steady window was not extracted pre-eos"
+        # flush holds only the window overlap (new_left + right tokens)
+        up = cfg.codec.upsample_rate
+        assert entries[-1][0].shape[-1] <= (2 * pad) * up + \
+            entries[0][0].shape[-1]  # seam buffer + <=2*pad tokens of audio
+        assert pool.n_active == 0
+
+    def test_max_tokens_budget_is_exact(self):
+        """Tokens past cfg.max_tokens must never reach the buffer
+        (StreamingTTS clamps n_steps to the remaining budget — ADVICE r4
+        low #2)."""
+        cfg, params = _setup(max_tokens=17)
+        rng = np.random.RandomState(7)
+        hidden = rng.randn(1, 5, cfg.decoder.idim).astype(np.float32)
+        pool = BatchedTTS(params, cfg, capacity=1, seed=0)
+        assert pool.start([("k", hidden, None)]) == 1
+        job = next(iter(pool.jobs.values()))
+        t = np.full((pool.capacity, 10), 1, np.int32)  # never eos
+        pool._deliver_step(t, list(pool.jobs.items()))
+        assert job.total == 10 and not job.done_decode
+        pool._deliver_step(t, [(job.row, job)])
+        assert job.total == 17, "budget overshoot"
+        assert job.finished and pool.n_active == 0
+
 
 class TestServiceBatchedTTS:
     def _service(self, threshold=0.0):
