@@ -443,11 +443,17 @@ def knee_detail(cfg, args, params, schedule=None):
             if min(p50, pip) > chunk_ms:
                 break
         except Exception as e:  # OOM at the top counts is a finding, not a crash
+            from freeze_omni_tpu.runtime.engine import CapacityError, is_oom
+
             log(f"knee: {streams} streams failed: {type(e).__name__}: "
                 f"{str(e)[:300]}")
-            points.append({"streams": streams, "kv_len": kv_len,
-                           "kv_quant_bits": kv_q,
-                           "error": type(e).__name__})
+            point = {"streams": streams, "kv_len": kv_len,
+                     "kv_quant_bits": kv_q, "error": type(e).__name__}
+            if isinstance(e, CapacityError) or is_oom(e):
+                # the structured capacity signal (VERDICT r4 #5): the knee's
+                # last failing point is a measured ceiling, not a crash
+                point["capacity_limit"] = True
+            points.append(point)
             # drop the FAILED engine's buffers too, or they stay resident
             # through the next (larger) point and cascade the failure
             engine = None
@@ -724,113 +730,43 @@ def hostpath_bench(args):
                    "wall_s": round(wall, 3), "native_frontend": native}}))
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--layers", type=int, default=28,
-                   help="LLM layer count (flagship Qwen2-7B = 28, the default;"
-                        " int8 weight-only puts the full model at 7.1 GiB on "
-                        "the 16 GB v5e chip)")
-    p.add_argument("--trials", type=int, default=7,
-                   help="timed trials per metric; medians are reported. 7 "
-                        "keeps one sporadic tunnel stall (documented axon "
-                        "hazard) from tipping a median")
-    p.add_argument("--sentence_tokens", type=int, default=8,
-                   help="text tokens before first sentence boundary")
-    p.add_argument("--preset", default="bench", choices=["bench", "tiny"])
-    p.add_argument("--mode", default="latency",
-                   choices=["latency", "serving", "load", "throughput",
-                            "knee", "hostpath"])
-    p.add_argument("--streams", type=int, default=8,
-                   help="concurrent duplex sessions for --mode serving")
-    p.add_argument("--profile", default=None, metavar="LOGDIR",
-                   help="capture a jax.profiler trace of one post-warmup "
-                        "latency trial into LOGDIR (inspect in TensorBoard; "
-                        "device_span annotations line up host/device "
-                        "timelines)")
-    p.add_argument("--quant", default=True,
-                   action=argparse.BooleanOptionalAction,
-                   help="int8 weight-only LLM (default; --no-quant = bf16, "
-                        "which at 28 layers no longer fits one chip alongside "
-                        "embeddings: use fewer layers or TP)")
-    p.add_argument("--wbits", type=int, default=8, choices=[8, 4],
-                   help="weight-only quantization bits (4 = grouped int4, "
-                        "half the HBM weight traffic of int8 again)")
-    p.add_argument("--warm-probe", dest="warm_probe", default=True,
-                   action=argparse.BooleanOptionalAction,
-                   help="after the run, re-exec a child process that reports "
-                        "time-to-serving-ready from the persistent compile "
-                        "cache (the warm-restart story, measured not claimed)")
-    p.add_argument("--warm-child", dest="warm_child", default=False,
-                   action="store_true",
-                   help=argparse.SUPPRESS)
-    p.add_argument("--knee", default=True,
-                   action=argparse.BooleanOptionalAction,
-                   help="sweep stream counts (8..128) for the batched-tick "
-                        "knee curve")
-    args = p.parse_args()
-    if args.mode == "hostpath":
-        # host-only (no device): measure the frontend pipeline's capacity
-        hostpath_bench(args)
-        return
-    _device_probe()
+REPO = os.path.dirname(os.path.abspath(__file__))
+PARTIAL_PATH = os.path.join(REPO, "bench_partial.jsonl")
+DETAIL_PATH = os.path.join(REPO, "BENCH_DETAIL.json")
+CHUNK_MS = 224.0
+# the knee schedule: int8 KV at 64+ streams keeps the full 1024-token dialog
+# context at every point (VERDICT r3); 160 exists to show the ceiling
+KNEE_SCHEDULE = ((8, 1024, None), (16, 1024, None), (32, 1024, None),
+                 (64, 1024, 8), (128, 1024, 8), (160, 1024, 8))
 
-    from freeze_omni_tpu.config import (LLMConfig, SamplingConfig, flagship_system,
-                                        tiny_system)
+
+def _make_cfg(args):
+    from freeze_omni_tpu.config import flagship_system, tiny_system
+
+    if args.preset == "tiny":
+        return tiny_system(), jnp.float32, False
+    cfg = flagship_system()
+    cfg = dataclasses.replace(
+        cfg, audio_llm=dataclasses.replace(
+            cfg.audio_llm,
+            llm=dataclasses.replace(cfg.audio_llm.llm,
+                                    num_layers=args.layers,
+                                    max_kv_len=1024)))
+    return cfg, jnp.bfloat16, args.quant
+
+
+def latency_phase(cfg, args, llm_dtype, quant, warm_only: bool = False):
+    """Params + warmup + the first-response latency trials (the reference's
+    headline metric, BASELINE.md). warm_only: stop after warmup and report
+    time-to-serving-ready (the warm-restart story when the persistent compile
+    cache is hot). Returns the detail dict."""
     from freeze_omni_tpu.models import audio_llm, codec as codec_mod, qwen2
     from freeze_omni_tpu.models import speech_decoder as sd
     from freeze_omni_tpu.tts import StreamingTTS
 
-    if args.preset == "tiny":
-        cfg = tiny_system()
-        llm_dtype = jnp.float32
-    else:
-        cfg = flagship_system()
-        cfg = dataclasses.replace(
-            cfg, audio_llm=dataclasses.replace(
-                cfg.audio_llm,
-                llm=dataclasses.replace(cfg.audio_llm.llm,
-                                        num_layers=args.layers,
-                                        max_kv_len=1024)))
-        llm_dtype = jnp.bfloat16
-
     acfg = cfg.audio_llm
-    quant = args.quant and args.preset != "tiny"
-    log(f"devices: {jax.devices()}")
-    log(f"init: llm layers={acfg.llm.num_layers} hidden={acfg.llm.hidden} "
-        f"dtype={'int8' if quant else llm_dtype.__name__}")
-
-    if args.mode == "serving":
-        serving_bench(cfg, args, llm_dtype, quant)
-        return
-    if args.mode == "load":
-        load_bench(cfg, args, llm_dtype, quant)
-        return
-
     t0 = time.time()
     params = _bench_params(cfg, llm_dtype, quant, wbits=args.wbits)
-    if quant:
-        log(f"LLM weights int{args.wbits} weight-only (layers + embeddings)")
-
-    if args.mode == "throughput":
-        throughput_bench(cfg, args, params)
-        return
-    if args.mode == "knee":
-        points = knee_detail(cfg, args, params)
-        print(json.dumps({"metric": "max_realtime_streams",
-                          "value": max((p["streams"] for p in points
-                                        if _best_rtf(p, "") <= 1),
-                                       default=0),
-                          "unit": "streams", "vs_baseline": None,
-                          "detail": {"knee": points,
-                                     "max_duplex_realtime_streams": max(
-                                         (p["streams"] for p in points
-                                          if _best_rtf(p, "duplex_") <= 1),
-                                         default=0),
-                                     "max_mixed_realtime_streams": max(
-                                         (p["streams"] for p in points
-                                          if _best_rtf(p, "mixed_") <= 1),
-                                         default=0)}}))
-        return
     # the latency bench only exercises the user identity: alias the system
     # copies (immutable arrays -> no extra HBM)
     params["encoder_system"] = params["encoder_user"]
@@ -963,13 +899,12 @@ def main():
     warmup_s = time.time() - t0
     log(f"warmup done in {warmup_s:.1f}s")
 
-    if args.warm_child:
-        # child of the warm-restart probe: report process-start -> serving-
-        # ready timings from the persistent compile cache and exit
-        print(json.dumps({"warm_params_s": round(params_s, 1),
-                          "warm_warmup_s": round(warmup_s, 1),
-                          "warm_ready_s": round(params_s + warmup_s, 1)}))
-        return
+    if warm_only:
+        # warm-restart probe child: report process-start -> serving-ready
+        # timings from the (hot) persistent compile cache and stop
+        return {"warm_params_s": round(params_s, 1),
+                "warm_warmup_s": round(warmup_s, 1),
+                "warm_ready_s": round(params_s + warmup_s, 1)}
 
     if args.profile:
         from freeze_omni_tpu.utils.logging import profile_trace
@@ -1012,117 +947,468 @@ def main():
                          "p90": round(float(np.percentile(vals, 90)), 1),
                          "baseline_p50": b50, "baseline_p90": b90}
 
-    # throughput + hardware utilization ride the same artifact (VERDICT r1
-    # next #3): decode tok/s at B=1/B=8, HBM-BW utilization, MFU
-    log("throughput/MFU measurement...")
-    tput = throughput_detail(cfg, args, params, trials=max(3, args.trials))
-    log("prefill throughput measurement...")
-    tput["prefill"] = prefill_detail(cfg, args, params)
-    knee = None
+    return {
+        "p50_speech_to_first_audio_ms": round(p50, 1),
+        "vs_baseline": round(p50 / BASELINE_P50_MS, 3) if full_depth else None,
+        "p50_first_text_chunk_ms": round(p50_text, 1),
+        "p50_staged_ms": round(p50_staged, 1),
+        "p50_fused_single_dispatch_ms": round(p50_fused, 1),
+        "baseline_p50_ms": BASELINE_P50_MS,
+        "llm_layers": acfg.llm.num_layers,
+        "full_depth_7b": full_depth,
+        "llm_weights": (f"int{args.wbits} weight-only" if quant
+                        else llm_dtype.__name__),
+        "latency_breakdown": breakdown,
+        "cold_params_s": round(params_s, 1),
+        "cold_warmup_s": round(warmup_s, 1),
+        "note": "vs_baseline = ours/reference (<1 is faster), reported only "
+                "at the full 28-layer Qwen2-7B depth; fused = one-dispatch "
+                "first response (runtime/fastpath.py); latency_breakdown "
+                "stages carry explicit host syncs so their sum exceeds the "
+                "fused path. cold_* are this process's init/compile times "
+                "(persistent-cache state whatever the driver left).",
+    }
+
+
+def throughput_phase(cfg, args, llm_dtype, quant):
+    """Decode throughput/BW-util/MFU + the serving prefill hot op at 8 AND
+    64 streams (VERDICT r4 #6: prefill MFU at scale is the open item)."""
+    params = _bench_params(cfg, llm_dtype, quant, wbits=args.wbits)
+    out = throughput_detail(cfg, args, params, trials=max(3, args.trials))
+    log("prefill throughput measurement (8 streams)...")
+    out["prefill"] = prefill_detail(cfg, args, params)
+    if args.preset == "bench":
+        log("prefill throughput measurement (64 streams)...")
+        import copy
+
+        a64 = copy.copy(args)
+        a64.streams = 64
+        try:
+            out["prefill_64"] = prefill_detail(cfg, a64, params)
+        except Exception as e:
+            out["prefill_64"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+    return out
+
+
+def knee_point_phase(cfg, args, llm_dtype, quant):
+    """One knee point in an isolated process: an OOM/hang at this stream
+    count cannot poison any other measurement (VERDICT r4 #1b)."""
+    params = _bench_params(cfg, llm_dtype, quant, wbits=args.wbits)
+    kv_q = args.kv_quant if args.kv_quant > 0 else None
+    points = knee_detail(cfg, args, params,
+                         schedule=((args.streams, args.kv_len, kv_q),))
+    return {"point": points[0]}
+
+
+def multihost_phase(args):
+    """Size the lockstep multi-host serving tax on a 2-process CPU mesh
+    (scripts/multihost_tax.py); DCN extrapolation rides the note. Device-
+    independent: runs even when the TPU tunnel is down."""
+    import socket
+    import subprocess
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    streams, ticks = 8, 20
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "scripts", "multihost_tax.py"),
+         f"127.0.0.1:{port}", str(i), str(streams), str(ticks)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append((p.returncode, out))
+    if outs[0][0] != 0 or outs[1][0] != 0:
+        return {"error": f"multihost children rc={outs[0][0]},{outs[1][0]}"}
+    line = [l for l in outs[0][1].splitlines() if l.startswith("RESULT ")][-1]
+    res = json.loads(line[len("RESULT "):])
+    # wire-time extrapolation: localhost TCP measures the software overhead
+    # (pickle + frame copy + collective); DCN adds frame/bandwidth + RTT
+    fb = res["frame_bytes"]
+    res["dcn_extrapolation"] = {
+        "wire_ms_at_100gbps": round(fb * 8 / 100e9 * 1e3, 3),
+        "note": "per-tick DCN tax ~= measured broadcast_call_p50_ms "
+                "(software floor, localhost TCP) + frame/DCN-bandwidth + "
+                "RTT; at the 224 ms tick budget and 4.5 ticks/s this is "
+                "<1% even at 100 Gb/s host links",
+    }
+    return res
+
+
+# ----------------------------------------------------------------------
+# orchestrator (VERDICT r4 #1): phases in subprocesses, probe retries,
+# incremental partial artifacts, compact final line
+# ----------------------------------------------------------------------
+
+
+def _run_phase(name: str, extra_args: list, timeout_s: float) -> dict:
+    """Run `bench.py --phase ...` in a fresh subprocess (own backend init —
+    a wedged axon tunnel in one phase cannot wedge the next) and parse its
+    last stdout JSON line. Kills the whole process group on timeout."""
+    import signal as _signal
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__)] + extra_args
+    log(f"=== phase {name}: timeout {timeout_s:.0f}s ===")
+    t0 = time.time()
+    try:
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=None,
+                                text=True, cwd=REPO, start_new_session=True)
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"}
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, _signal.SIGKILL)
+        except Exception:
+            proc.kill()
+        proc.wait()
+        return {"error": f"phase timed out after {timeout_s:.0f}s",
+                "_seconds": round(time.time() - t0, 1)}
+    lines = [l for l in (out or "").splitlines() if l.startswith("{")]
+    if not lines:
+        return {"error": f"phase emitted no JSON (rc={proc.returncode})",
+                "_seconds": round(time.time() - t0, 1)}
+    try:
+        res = json.loads(lines[-1])
+    except Exception as e:
+        return {"error": f"unparseable phase JSON: {e}",
+                "_seconds": round(time.time() - t0, 1)}
+    if isinstance(res, dict):
+        res["_seconds"] = round(time.time() - t0, 1)
+    return res
+
+
+def _knee_compact(knee: list) -> list:
+    """[streams, pipelined, duplex_pipelined, mixed_pipelined] per point —
+    the production-mode numbers, sized to fit the driver's stdout tail
+    window (the r3 artifact failed to parse because the full detail
+    overflowed it)."""
+    rows = []
+    for p in knee:
+        if "tick_p50_ms" in p:
+            rows.append([p["streams"],
+                         p.get("tick_pipelined_ms"),
+                         p.get("tick_duplex_pipelined_ms"),
+                         p.get("tick_mixed_pipelined_ms")])
+        else:
+            rows.append([p.get("streams"),
+                         "capacity" if p.get("capacity_limit")
+                         else p.get("error", p.get("skipped", "?"))])
+    return rows
+
+
+def _assemble(results: dict, args):
+    """Build (compact stdout artifact, full detail) from completed phases."""
+    lat = results.get("latency") or {}
+    warm = results.get("warm") or {}
+    tput = results.get("throughput") or {}
+    knee = results.get("knee") or []
+    mh = results.get("multihost") or {}
+
+    detail = {"schema": "bench_r5", "phases": results}
+
+    failed = {k: v.get("error") for k, v in results.items()
+              if isinstance(v, dict) and v.get("error")}
+    max_rt = max((p["streams"] for p in knee
+                  if "tick_p50_ms" in p and _best_rtf(p, "") <= 1), default=0)
+    max_dup = max((p["streams"] for p in knee
+                   if "tick_p50_ms" in p and _best_rtf(p, "duplex_") <= 1),
+                  default=0)
+    max_mix = max((p["streams"] for p in knee
+                   if "tick_p50_ms" in p and _best_rtf(p, "mixed_") <= 1),
+                  default=0)
+
+    compact_detail = {
+        "llm": f"{lat.get('llm_layers', args.layers)}L "
+               f"{lat.get('llm_weights', 'int8 weight-only')}",
+        "p50_fused_ms": lat.get("p50_fused_single_dispatch_ms"),
+        "p50_staged_ms": lat.get("p50_staged_ms"),
+        "p50_first_text_ms": lat.get("p50_first_text_chunk_ms"),
+        "warm_ready_s": warm.get("warm_ready_s"),
+        "cold_ready_s": (None if "cold_params_s" not in lat else
+                         round(lat["cold_params_s"] + lat["cold_warmup_s"],
+                               1)),
+        "b1_tok_s": tput.get("b1_tokens_per_s"),
+        "b8_tok_s": tput.get("b8_tokens_per_s"),
+        "b1_hbm_bw_util": tput.get("b1_hbm_bw_utilization"),
+        "prefill_mfu_8": (tput.get("prefill") or {}).get("prefill_mfu"),
+        "prefill_mfu_64": (tput.get("prefill_64") or {}).get("prefill_mfu"),
+        "knee_cols": "[streams, tick_pipelined_ms, duplex_pipelined_ms, "
+                     "mixed_pipelined_ms] (budget 224 ms)",
+        "knee": _knee_compact(knee),
+        "max_realtime_streams": max_rt,
+        "max_duplex_realtime_streams": max_dup,
+        "max_mixed_realtime_streams": max_mix,
+        "multihost_broadcast_ms": mh.get("broadcast_call_p50_ms"),
+        "phases_failed": failed or None,
+        "full_detail": os.path.basename(DETAIL_PATH),
+    }
+    p50 = lat.get("p50_speech_to_first_audio_ms")
+    if p50 is not None:
+        compact = {"metric": "p50_speech_to_first_audio", "value": p50,
+                   "unit": "ms", "vs_baseline": lat.get("vs_baseline"),
+                   "detail": compact_detail}
+    elif knee and max_rt:
+        compact = {"metric": "max_realtime_streams", "value": max_rt,
+                   "unit": "streams", "vs_baseline": None,
+                   "detail": compact_detail}
+    else:
+        compact = {"metric": "error", "value": 0.0, "unit": "none",
+                   "vs_baseline": None, "detail": compact_detail}
+    return compact, detail
+
+
+def orchestrate(args):
+    """Default entry: every measurement phase in its own subprocess with its
+    own timeout; results append to bench_partial.jsonl AS THEY COMPLETE (a
+    hang mid-knee still leaves latency/throughput numbers); SIGTERM/SIGINT
+    emit the partial artifact; the final stdout line is compact enough for
+    the driver's tail window (r3's full-detail line overflowed it and parsed
+    as null). Full detail lands in BENCH_DETAIL.json."""
+    import signal
+
+    t_start = time.time()
+    results: dict = {}
+    try:
+        os.remove(PARTIAL_PATH)
+    except OSError:
+        pass
+
+    def record(name, res):
+        results[name] = res
+        try:
+            with open(PARTIAL_PATH, "a") as f:
+                f.write(json.dumps({"phase": name, "result": res}) + "\n")
+        except OSError:
+            pass
+
+    emitted = [False]
+
+    def emit_final(*_sig):
+        if emitted[0]:
+            return
+        emitted[0] = True
+        compact, detail = _assemble(results, args)
+        try:
+            with open(DETAIL_PATH, "w") as f:
+                json.dump(detail, f, indent=1)
+            log(f"full detail -> {DETAIL_PATH}")
+        except OSError:
+            pass
+        log("FULL: " + json.dumps(detail))  # driver log carries everything
+        print(json.dumps(compact), flush=True)
+
+    def on_signal(signum, frame):
+        log(f"signal {signum}: emitting partial artifact")
+        emit_final()
+        os._exit(0)
+
+    for s in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(s, on_signal)
+
+    def left():
+        return args.budget - (time.time() - t_start)
+
+    base = ["--layers", str(args.layers), "--trials", str(args.trials),
+            "--sentence_tokens", str(args.sentence_tokens),
+            "--preset", args.preset, "--wbits", str(args.wbits)]
+    if not args.quant:
+        base.append("--no-quant")
+
+    # 1) device probe: up to 3 attempts, each a FRESH subprocess so the
+    #    backend re-initializes (r4's single in-process probe had no retry
+    #    and its timeout discarded the whole round's numbers)
+    probe_ok = False
+    for attempt in range(3):
+        res = _run_phase("probe", ["--phase", "probe"], 260)
+        if res.get("ok"):
+            probe_ok = True
+            break
+        record(f"probe_attempt{attempt}", res)
+        log(f"probe attempt {attempt + 1}/3 failed; backend re-init...")
+        time.sleep(15)
+    record("probe", {"ok": probe_ok})
+
+    # 2) multihost lockstep tax (CPU-only — lands even with the TPU down)
+    record("multihost", _run_phase("multihost", ["--phase", "multihost"],
+                                   700))
+    if not probe_ok:
+        emit_final()
+        return
+
+    # 3) latency (+ cold init/compile numbers)
+    if left() > 300:
+        record("latency", _run_phase(
+            "latency", base + ["--phase", "latency"], min(3300, left())))
+    # 4) warm restart (right after latency: replays its programs from the
+    #    now-hot persistent compile cache)
+    if left() > 300:
+        warm_args = [a if a != str(args.trials) else "1" for a in base]
+        record("warm", _run_phase("warm", warm_args + ["--phase", "warm"],
+                                  min(1800, left())))
+    # 5) decode throughput + prefill MFU (8 and 64 streams)
+    if left() > 300:
+        record("throughput", _run_phase(
+            "throughput", base + ["--phase", "throughput"],
+            min(2400, left())))
+    # 6) the stream-count knee, one subprocess per point
+    knee = []
     if args.knee and args.preset == "bench":
-        # free the latency/throughput phase's device buffers first: the
-        # 128-stream point needs most of the chip's HBM alongside the
-        # weights, and lingering caches degrade the top knee points
-        # (measured: 128 streams 193 ms in a clean process vs 245 ms under
-        # leftover allocations)
-        import gc
+        for streams, kv_len, kv_q in KNEE_SCHEDULE:
+            if left() < 420:
+                knee.append({"streams": streams, "skipped": "budget"})
+                record("knee", knee)
+                continue
+            pa = base + ["--phase", "knee_point", "--streams", str(streams),
+                         "--kv_len", str(kv_len)]
+            if kv_q:
+                pa += ["--kv_quant", str(kv_q)]
+            res = _run_phase(f"knee{streams}", pa, min(2400, left()))
+            point = res.get("point", {"streams": streams,
+                                      "error": res.get("error", "?")})
+            knee.append(point)
+            record("knee", knee)
+            if "tick_p50_ms" in point and min(
+                    point.get("tick_p50_ms", 9e9),
+                    point.get("tick_pipelined_ms", 9e9)) > CHUNK_MS:
+                break  # user-only already over budget: higher counts too
+    emit_final()
 
-        caches = tts = tts_params = None  # keep names bound: the warm
-        gc.collect()                      # probe frees them too under --no-knee
-        log("stream-count knee sweep...")
-        knee = knee_detail(cfg, args, params)
 
-    cold_warm = {"cold_params_s": round(params_s, 1),
-                 "cold_warmup_s": round(warmup_s, 1),
-                 "note": "warm_warmup is NOT recompilation: a "
-                         "JAX_DEBUG_LOG_MODULES probe shows ~all programs "
-                         "cache-hit on restart (1 write). The remaining warm "
-                         "cost is Python tracing of the 28-layer fused "
-                         "graphs + program upload through the tunneled "
-                         "device + first execution, none of which the "
-                         "persistent cache can elide."}
-    if args.warm_probe:
-        # warm-restart proof (VERDICT r2 #2): a fresh child process replays
-        # init + warmup from the (now hot) persistent compile cache. The
-        # parent's device buffers are dropped first — the child shares the
-        # one chip, and HBM pressure from a resident parent forces it into
-        # slow allocation retries that masquerade as compile time.
-        import gc
-        import subprocess
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=28,
+                   help="LLM layer count (flagship Qwen2-7B = 28, the default;"
+                        " int8 weight-only puts the full model at 7.1 GiB on "
+                        "the 16 GB v5e chip)")
+    p.add_argument("--trials", type=int, default=7,
+                   help="timed trials per metric; medians are reported. 7 "
+                        "keeps one sporadic tunnel stall (documented axon "
+                        "hazard) from tipping a median")
+    p.add_argument("--sentence_tokens", type=int, default=8,
+                   help="text tokens before first sentence boundary")
+    p.add_argument("--preset", default="bench", choices=["bench", "tiny"])
+    p.add_argument("--mode", default="auto",
+                   choices=["auto", "latency", "serving", "load",
+                            "throughput", "knee", "hostpath"])
+    p.add_argument("--phase", default=None,
+                   choices=["probe", "latency", "warm", "throughput",
+                            "knee_point", "multihost"],
+                   help="run ONE orchestrated phase in this process and "
+                        "print its JSON (the default --mode auto runs each "
+                        "phase in its own subprocess)")
+    p.add_argument("--streams", type=int, default=8,
+                   help="concurrent duplex sessions (serving/knee_point)")
+    p.add_argument("--kv_len", type=int, default=1024,
+                   help="per-session KV window for --phase knee_point")
+    p.add_argument("--kv_quant", type=int, default=0, choices=[0, 8],
+                   help="KV cache quantization bits for --phase knee_point "
+                        "(0 = bf16)")
+    p.add_argument("--budget", type=float, default=10800.0,
+                   help="orchestrator wall-clock budget (s); remaining knee "
+                        "points are skipped when it runs low, and the "
+                        "partial artifact is emitted either way")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler trace of one post-warmup "
+                        "latency trial into LOGDIR (inspect in TensorBoard; "
+                        "device_span annotations line up host/device "
+                        "timelines)")
+    p.add_argument("--quant", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="int8 weight-only LLM (default; --no-quant = bf16, "
+                        "which at 28 layers no longer fits one chip alongside "
+                        "embeddings: use fewer layers or TP)")
+    p.add_argument("--wbits", type=int, default=8, choices=[8, 4],
+                   help="weight-only quantization bits (4 = grouped int4, "
+                        "half the HBM weight traffic of int8 again)")
+    p.add_argument("--knee", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="sweep stream counts (8..160) for the batched-tick "
+                        "knee curve")
+    args = p.parse_args()
 
-        # free EVERYTHING this process holds on the chip, not just params:
-        # under --no-knee the latency-phase session caches and TTS params
-        # would otherwise stay resident and the child's "warm" numbers would
-        # measure allocation-retry stalls, not restart cost
-        params = caches = tts = tts_params = None
-        gc.collect()
-        log("warm-restart probe (child process)...")
-        # the child must replay the EXACT parent configuration — a config
-        # mismatch would measure cold compiles and call them "warm"
-        child_args = [sys.executable, os.path.abspath(__file__),
-                      "--layers", str(args.layers), "--trials", "1",
-                      "--sentence_tokens", str(args.sentence_tokens),
-                      "--preset", args.preset, "--wbits", str(args.wbits),
-                      "--warm-child", "--no-warm-probe", "--no-knee"]
-        if not args.quant:
-            child_args.append("--no-quant")
-        # one retry: the axon tunnel sporadically hangs (~3x/12h documented)
-        # and the child fail-fasts with its own error artifact line — a
-        # single transient must not cost the round its warm numbers. A child
-        # error line is an {"metric": "error", ...} object; merging it raw
-        # would pollute cold_warm with artifact keys, so route it to
-        # warm_probe_error instead.
-        for attempt in (0, 1):
-            try:
-                proc = subprocess.run(
-                    child_args, capture_output=True, text=True, timeout=1800,
-                    cwd=os.path.dirname(os.path.abspath(__file__)))
-                line = [l for l in proc.stdout.splitlines()
-                        if l.startswith("{")][-1]
-                res = json.loads(line)
-                if "warm_ready_s" not in res:
-                    raise RuntimeError(res.get("detail", {}).get(
-                        "error", "child emitted no warm numbers"))
-                cold_warm.update(res)
-                cold_warm.pop("warm_probe_error", None)
-                break
-            except Exception as e:
-                cold_warm["warm_probe_error"] = f"{type(e).__name__}: {e}"
-                if attempt == 0:
-                    log(f"warm probe failed ({e}); retrying once...")
+    # ---- single-phase children (orchestrated) ----
+    if args.phase == "probe":
+        _device_probe(180.0)
+        print(json.dumps({"ok": True}))
+        return
+    if args.phase == "multihost":
+        print(json.dumps(multihost_phase(args)))
+        return
+    if args.phase is not None:
+        _device_probe(180.0)
+        cfg, llm_dtype, quant = _make_cfg(args)
+        log(f"devices: {jax.devices()}")
+        if args.phase == "latency":
+            print(json.dumps(latency_phase(cfg, args, llm_dtype, quant)))
+        elif args.phase == "warm":
+            print(json.dumps(latency_phase(cfg, args, llm_dtype, quant,
+                                           warm_only=True)))
+        elif args.phase == "throughput":
+            print(json.dumps(throughput_phase(cfg, args, llm_dtype, quant)))
+        elif args.phase == "knee_point":
+            print(json.dumps(knee_point_phase(cfg, args, llm_dtype, quant)))
+        return
 
+    # ---- manual modes ----
+    if args.mode == "auto":
+        orchestrate(args)
+        return
+    if args.mode == "hostpath":
+        # host-only (no device): measure the frontend pipeline's capacity
+        hostpath_bench(args)
+        return
+    _device_probe()
+    cfg, llm_dtype, quant = _make_cfg(args)
+    acfg = cfg.audio_llm
+    log(f"devices: {jax.devices()}")
+    log(f"init: llm layers={acfg.llm.num_layers} hidden={acfg.llm.hidden} "
+        f"dtype={'int8' if quant else llm_dtype.__name__}")
+
+    if args.mode == "serving":
+        serving_bench(cfg, args, llm_dtype, quant)
+        return
+    if args.mode == "load":
+        load_bench(cfg, args, llm_dtype, quant)
+        return
+    if args.mode == "throughput":
+        params = _bench_params(cfg, llm_dtype, quant, wbits=args.wbits)
+        throughput_bench(cfg, args, params)
+        return
+    if args.mode == "knee":
+        params = _bench_params(cfg, llm_dtype, quant, wbits=args.wbits)
+        points = knee_detail(cfg, args, params)
+        print(json.dumps({"metric": "max_realtime_streams",
+                          "value": max((p["streams"] for p in points
+                                        if _best_rtf(p, "") <= 1),
+                                       default=0),
+                          "unit": "streams", "vs_baseline": None,
+                          "detail": {"knee": points,
+                                     "max_duplex_realtime_streams": max(
+                                         (p["streams"] for p in points
+                                          if _best_rtf(p, "duplex_") <= 1),
+                                         default=0),
+                                     "max_mixed_realtime_streams": max(
+                                         (p["streams"] for p in points
+                                          if _best_rtf(p, "mixed_") <= 1),
+                                         default=0)}}))
+        return
+    # --mode latency: the latency phase inline, full artifact line
+    detail = latency_phase(cfg, args, llm_dtype, quant)
     print(json.dumps({
         "metric": "p50_speech_to_first_audio",
-        "value": round(p50, 1),
-        "unit": "ms",
-        # only claim a baseline ratio for the full-depth 7B configuration
-        "vs_baseline": round(p50 / BASELINE_P50_MS, 3) if full_depth else None,
-        "detail": {
-            "p50_first_text_chunk_ms": round(p50_text, 1),
-            "p50_staged_ms": round(p50_staged, 1),
-            "p50_fused_single_dispatch_ms": round(p50_fused, 1),
-            "baseline_p50_ms": BASELINE_P50_MS,
-            "llm_layers": acfg.llm.num_layers,
-            "full_depth_7b": full_depth,
-            "llm_weights": (f"int{args.wbits} weight-only" if quant
-                            else llm_dtype.__name__),
-            "latency_breakdown": breakdown,
-            "throughput": tput,
-            "knee": knee,
-            "max_duplex_realtime_streams": None if knee is None else max(
-                (p["streams"] for p in knee
-                 if _best_rtf(p, "duplex_") <= 1), default=0),
-            "max_mixed_realtime_streams": None if knee is None else max(
-                (p["streams"] for p in knee
-                 if _best_rtf(p, "mixed_") <= 1), default=0),
-            "cold_warm": cold_warm,
-            "note": "vs_baseline = ours/reference (<1 is faster), reported "
-                    "only at the full 28-layer Qwen2-7B depth; fused = "
-                    "one-dispatch first response (runtime/fastpath.py); "
-                    "latency_breakdown stages carry explicit host syncs so "
-                    "their sum exceeds the fused path",
-        },
-    }))
+        "value": detail["p50_speech_to_first_audio_ms"],
+        "unit": "ms", "vs_baseline": detail["vs_baseline"],
+        "detail": detail}))
 
 
 if __name__ == "__main__":

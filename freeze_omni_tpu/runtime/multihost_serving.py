@@ -35,33 +35,46 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-# fixed broadcast frame: every host must present identical shapes to the
-# collective. 4 MiB covers a 128-session x 32-frame x 80-mel dual-identity
-# tick (~2.6 MiB of f32) with room for headers.
+# size-tiered broadcast frames: every host must present identical shapes to
+# the collective, so the payload rides a frame from a fixed ladder after an
+# 8-byte size header round. The ladder's top (4 MiB) covers a 128-session x
+# 32-frame x 80-mel dual-identity tick (~2.6 MiB of f32). A SINGLE fixed
+# 4 MiB frame was measured costing 26.6 ms of per-call software overhead on
+# localhost TCP (scripts/multihost_tax.py) even for ~100-byte bundles
+# (open/close/embed/continue) — 12% of the 224 ms tick budget; tiering cuts
+# the common case to the 64 KiB frame.
 FRAME_BYTES = 1 << 22
+FRAME_TIERS = (1 << 16, 1 << 19, FRAME_BYTES)
 
 
 def _broadcast(obj: Optional[dict]) -> dict:
-    """One fixed-size frame: primary pickles `obj`, followers pass None."""
+    """Two-round broadcast: an 8-byte size header picks the frame tier (the
+    same on every host — shapes stay static per tier), then the payload
+    frame. Primary pickles `obj`; followers pass None."""
     import jax
     from jax.experimental import multihost_utils
 
+    is_src = jax.process_index() == 0
     if obj is not None:
         payload = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
-        if len(payload) + 8 > FRAME_BYTES:
+        if len(payload) > FRAME_BYTES:
             raise ValueError(f"bundle {len(payload)}B exceeds the "
                              f"{FRAME_BYTES}B broadcast frame")
-        frame = np.zeros((FRAME_BYTES,), np.uint8)
-        frame[:8] = np.frombuffer(
-            len(payload).to_bytes(8, "little"), np.uint8)
-        frame[8:8 + len(payload)] = np.frombuffer(payload, np.uint8)
+        header = np.frombuffer(
+            len(payload).to_bytes(8, "little"), np.uint8).copy()
     else:
-        frame = np.zeros((FRAME_BYTES,), np.uint8)
-    out = multihost_utils.broadcast_one_to_all(
-        frame, is_source=jax.process_index() == 0)
-    out = np.asarray(out)
-    n = int.from_bytes(out[:8].tobytes(), "little")
-    return pickle.loads(out[8:8 + n].tobytes())
+        payload = b""
+        header = np.zeros((8,), np.uint8)
+    hdr = np.asarray(multihost_utils.broadcast_one_to_all(
+        header, is_source=is_src))
+    n = int.from_bytes(hdr.tobytes(), "little")
+    tier = next(t for t in FRAME_TIERS if n <= t)
+    frame = np.zeros((tier,), np.uint8)
+    if obj is not None:
+        frame[:n] = np.frombuffer(payload, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(
+        frame, is_source=is_src))
+    return pickle.loads(out[:n].tobytes())
 
 
 def apply_bundle(engine, bundle: dict, tts_params: Optional[dict] = None):
