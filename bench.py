@@ -1116,8 +1116,16 @@ def _assemble(results: dict, args):
 
     detail = {"schema": "bench_r5", "phases": results}
 
-    failed = {k: v.get("error") for k, v in results.items()
-              if isinstance(v, dict) and v.get("error")}
+    def err_of(v):
+        if not isinstance(v, dict):
+            return None
+        if v.get("error"):
+            return v["error"]
+        if v.get("metric") == "error":  # a phase child's fail-fast artifact
+            return (v.get("detail") or {}).get("error", "phase error")
+        return None
+
+    failed = {k: err_of(v) for k, v in results.items() if err_of(v)}
     max_rt = max((p["streams"] for p in knee
                   if "tick_p50_ms" in p and _best_rtf(p, "") <= 1), default=0)
     max_dup = max((p["streams"] for p in knee
@@ -1128,8 +1136,8 @@ def _assemble(results: dict, args):
                   default=0)
 
     compact_detail = {
-        "llm": f"{lat.get('llm_layers', args.layers)}L "
-               f"{lat.get('llm_weights', 'int8 weight-only')}",
+        "llm": f"{lat.get('llm_layers', tput.get('llm_layers', args.layers))}L "
+               f"{lat.get('llm_weights', 'int8 weight-only' if args.quant and args.preset != 'tiny' else 'float32')}",
         "p50_fused_ms": lat.get("p50_fused_single_dispatch_ms"),
         "p50_staged_ms": lat.get("p50_staged_ms"),
         "p50_first_text_ms": lat.get("p50_first_text_chunk_ms"),
@@ -1229,7 +1237,7 @@ def orchestrate(args):
     #    and its timeout discarded the whole round's numbers)
     probe_ok = False
     for attempt in range(3):
-        res = _run_phase("probe", ["--phase", "probe"], 260)
+        res = _run_phase("probe", ["--phase", "probe"], 360)
         if res.get("ok"):
             probe_ok = True
             break
@@ -1338,14 +1346,14 @@ def main():
 
     # ---- single-phase children (orchestrated) ----
     if args.phase == "probe":
-        _device_probe(180.0)
+        _device_probe(300.0)
         print(json.dumps({"ok": True}))
         return
     if args.phase == "multihost":
         print(json.dumps(multihost_phase(args)))
         return
     if args.phase is not None:
-        _device_probe(180.0)
+        _device_probe(300.0)
         cfg, llm_dtype, quant = _make_cfg(args)
         log(f"devices: {jax.devices()}")
         if args.phase == "latency":

@@ -502,6 +502,21 @@ class Server:
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def do_GET(h):
+                # serve event dumps for the GUI's ?events= replay mode:
+                # basename-only .jsonl from the server's cwd (no traversal)
+                path = h.path.split("?")[0]
+                if path.endswith(".jsonl") and "/" not in path.strip("/"):
+                    fp = os.path.join(os.getcwd(), path.strip("/"))
+                    if os.path.isfile(fp):
+                        h.send_response(200)
+                        h.send_header("Content-Type", "application/jsonl")
+                        h.end_headers()
+                        with open(fp, "rb") as f:
+                            h.wfile.write(f.read())
+                        return
+                    h.send_response(404)
+                    h.end_headers()
+                    return
                 h.send_response(200)
                 h.send_header("Content-Type", "text/html; charset=utf-8")
                 h.end_headers()

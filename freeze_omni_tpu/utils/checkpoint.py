@@ -73,10 +73,15 @@ def convert_encoder(sd: dict, cfg: EncoderConfig, prefix: str) -> dict:
     """Keys per models/encoder/*: {prefix}enc.0 = Subsampling, {prefix}enc.1 =
     Transformer; cmvn under {prefix}global_cmvn."""
     out = {}
-    out["cmvn"] = {
-        "mean": _t(sd[f"{prefix}global_cmvn.mean"]),
-        "istd": _t(sd[f"{prefix}global_cmvn.istd"]),
-    }
+    if f"{prefix}global_cmvn.mean" in sd:
+        # GlobalCMVN registers mean/istd as buffers, so checkpoints CAN carry
+        # them — and when they do, the reference's load order makes the ckpt
+        # values win over the global_cmvn stats file (init_encoder_llm builds
+        # from the file, models/utils.load_checkpoint overwrites strict=False)
+        out["cmvn"] = {
+            "mean": _t(sd[f"{prefix}global_cmvn.mean"]),
+            "istd": _t(sd[f"{prefix}global_cmvn.istd"]),
+        }
     sub = f"{prefix}enc.0.core"
     out["sub"] = {
         "conv1": {"w": _t(sd[f"{sub}.conv.0.weight"]),

@@ -57,7 +57,11 @@ def load_audiollm(model_path: str, cfg: Optional[AudioLLMConfig] = None
 
         mean, istd = load_cmvn(cmvn_path, configs.get("is_json_cmvn", True))
         for who in ("encoder_user", "encoder_system"):
-            params[who]["cmvn"] = {"mean": mean, "istd": istd}
+            # the stats file only SEEDS the normalizer: when final.pt carries
+            # the global_cmvn buffers, those win — matching the reference's
+            # load order (init from file, then strict=False state-dict load
+            # overwrites; models/utils.py:11-28 after init_encoder_llm)
+            params[who].setdefault("cmvn", {"mean": mean, "istd": istd})
     return cfg, params
 
 

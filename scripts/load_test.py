@@ -44,7 +44,8 @@ def make_audio(seed: int, seconds: float):
     return audio
 
 
-async def client(url: str, name: str, seconds: float, results: dict):
+async def client(url: str, name: str, seconds: float, results: dict,
+                 event_log: list = None):
     import websockets
 
     events, lat = [], []
@@ -59,6 +60,14 @@ async def client(url: str, name: str, seconds: float, results: dict):
                     msg = json.loads(await ws.recv())
                     ev = msg.get("event")
                     events.append(ev)
+                    if event_log is not None:
+                        # full event, tagged with the session + arrival time,
+                        # for the monitor GUI's timeline replay (drop pcm
+                        # payloads — the timelines only need timings)
+                        rec = {k: v for k, v in msg.items() if k != "pcm_b64"}
+                        rec["sid"] = name
+                        rec.setdefault("time_stamp", time.time())
+                        event_log.append(rec)
                     if ev == "dialog_state_update" and last_send[0]:
                         # approximate decision latency: arrival relative to
                         # the most recent chunk send (server does not echo
@@ -87,12 +96,22 @@ async def main():
     p.add_argument("--url", default="ws://127.0.0.1:8765")
     p.add_argument("--sessions", type=int, default=4)
     p.add_argument("--seconds", type=float, default=15.0)
+    p.add_argument("--events_out", default=None, metavar="FILE.jsonl",
+                   help="dump every received event (tagged with sid) as JSON "
+                        "lines; load the file in monitor.html to replay the "
+                        "run as per-session timelines")
     args = p.parse_args()
 
     results: dict = {}
+    event_log: list = [] if args.events_out else None
     await asyncio.gather(*[
-        client(args.url, f"load-{i}", args.seconds, results)
+        client(args.url, f"load-{i}", args.seconds, results, event_log)
         for i in range(args.sessions)])
+    if args.events_out:
+        with open(args.events_out, "w") as f:
+            for rec in sorted(event_log, key=lambda r: r["time_stamp"]):
+                f.write(json.dumps(rec) + "\n")
+        print(f"{len(event_log)} events -> {args.events_out}")
 
     from collections import Counter
 
