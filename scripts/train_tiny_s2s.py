@@ -27,7 +27,7 @@ phase C  output side: TiCodec GAN on the word audio (straight-through VQ
 save     utils.factory.save_native_system -> the shipped harnesses load it
          with --model_path, byte tokenizer, no HF assets.
 
-Run (CPU, ~1-2 h total):
+Run (--platform tpu: ~15-30 min; cpu: hours at the default step counts):
   python scripts/train_tiny_s2s.py --out freeze_omni_tpu/assets/tiny_s2s
 Artifacts: native checkpoint + dev manifests + QUALITY.json with the three
 held-out metrics (asserted against chance in tests/test_tiny_s2s_quality.py).
@@ -94,11 +94,19 @@ def main():
     p.add_argument("--dec_steps", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_eval", action="store_true")
+    p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                   help="cpu: run everything on host (no TPU required, "
+                        "~hours at the default step counts on one core). "
+                        "tpu: leave the env's device platform in place — "
+                        "each training step is ONE fused jitted dispatch, "
+                        "so the whole curriculum lands in ~15-30 min even "
+                        "through a high-latency device tunnel")
     args = p.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
 
@@ -166,8 +174,13 @@ def main():
 
     import functools
 
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
+
+    # ONE fused dispatch per step (loss+grad+optimizer update): over the
+    # device tunnel an eager optax.update costs ~100 tiny dispatches/step,
+    # which is what made the r4 attempt at this script impractically slow
     @functools.partial(jax.jit, static_argnames=("L",))
-    def lm_loss_grad(llm, ids, mask, lmask, L):
+    def lm_train_step(llm, opt_state, ids, mask, lmask, L):
         def loss_fn(lp):
             emb = qwen2.embed_tokens(lp, ids)
             cache = qwen2.init_cache(acfg.llm, ids.shape[0], max_len=L + 1,
@@ -180,18 +193,18 @@ def main():
             m = lmask[:, 1:].astype(jnp.float32)
             return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1)
 
-        return jax.value_and_grad(loss_fn)(llm)
+        loss, grads = jax.value_and_grad(loss_fn)(llm)
+        upd, opt_state = opt.update(grads, opt_state, llm)
+        return optax.apply_updates(llm, upd), opt_state, loss
 
-    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
     llm = params["llm"]
     opt_state = opt.init(llm)
     print("phase A: LLM text pretrain", flush=True)
     for it in range(args.lm_steps):
         ids, mask, lmask = build_lm_batch(rng, 32)
-        loss, grads = lm_loss_grad(llm, jnp.asarray(ids), jnp.asarray(mask),
-                                   jnp.asarray(lmask), ids.shape[1])
-        upd, opt_state = opt.update(grads, opt_state, llm)
-        llm = optax.apply_updates(llm, upd)
+        llm, opt_state, loss = lm_train_step(
+            llm, opt_state, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(lmask), ids.shape[1])
         if it % 200 == 0 or it == args.lm_steps - 1:
             print(f"  lm step {it}: ce {float(loss):.4f}", flush=True)
     params["llm"] = llm
@@ -257,9 +270,12 @@ def main():
         upd, st = opt_b.update(grads, st, tr)
         return optax.apply_updates(tr, upd), st, loss
 
+    # precomputed batch pool: host-side fbank extraction dominates the step
+    # otherwise, and the 16-word world exhausts its acoustic diversity after
+    # a handful of draws (every word renders deterministically)
+    ctc_pool = [audio_batch(rng, 8, n) for n in (1, 2, 3, 4) for _ in range(4)]
     for it in range(args.ctc_steps):
-        n = int(rng.randint(1, 5))
-        fb, words = audio_batch(rng, 8, n)
+        fb, words = ctc_pool[int(rng.randint(len(ctc_pool)))]
         toks = jnp.asarray([[WORDS.index(w) for w in ws] for ws in words],
                            jnp.int32)
         trainable, st_b, loss = ctc_step(trainable, st_b, fb, toks)
@@ -313,17 +329,25 @@ def main():
         upd, st = opt_a.update(grads, st, tr)
         return optax.apply_updates(tr, upd), st, loss
 
-    for it in range(args.align_steps):
-        qa = rng.rand() < 0.3
+    # pooled batches (fbank + answer ids built once, cycled): word sequences
+    # are deterministic audio, so fresh draws buy no new acoustics
+    def align_batch(qa: bool):
         n = 1 if qa else int(rng.randint(1, 5))
         fb, words = audio_batch(rng, 12, n)
-        role = QA_ROLE if qa else TRANSCRIBE_ROLE
         answers = [(PARTNER[ws[0]] if qa else " ".join(ws)) for ws in words]
         rows = [tok.encode(a) + [tok.eod_id] for a in answers]
         ids, mask = pad_ids(rows, mult=4)
+        return fb, jnp.asarray(ids), jnp.asarray(mask)
+
+    align_pool = {True: [align_batch(True) for _ in range(10)],
+                  False: [align_batch(False) for _ in range(30)]}
+    for it in range(args.align_steps):
+        qa = rng.rand() < 0.3
+        pool = align_pool[qa]
+        fb, ids, mask = pool[int(rng.randint(len(pool)))]
+        role = QA_ROLE if qa else TRANSCRIBE_ROLE
         tr_align, st_a, loss = align_step(
-            tr_align, st_a, fb, jnp.asarray(role_emb[role]),
-            jnp.asarray(ids), jnp.asarray(mask),
+            tr_align, st_a, fb, jnp.asarray(role_emb[role]), ids, mask,
             role_emb[role].shape[0], ids.shape[1])
         if it % 200 == 0 or it == args.align_steps - 1:
             print(f"  align step {it} ({'qa' if qa else 'echo'}): "
@@ -434,9 +458,12 @@ def main():
         upd, st = opt_d.update(grads, st, dp)
         return optax.apply_updates(dp, upd), st, loss
 
+    # pooled (hidden, codes) batches: dec_batch costs ~16 device round trips
+    # (per-sample encode + embed), so building each batch once and cycling
+    # keeps the loop at one dispatch per step
+    dec_pool = [dec_batch(rng, 8, int(rng.randint(1, 4))) for _ in range(36)]
     for it in range(args.dec_steps):
-        n = int(rng.randint(1, 4))
-        batch = dec_batch(rng, 8, n)
+        batch = dec_pool[int(rng.randint(len(dec_pool)))]
         dec_params, st_d, loss = dec_step(dec_params, st_d, *batch)
         if it % 200 == 0 or it == args.dec_steps - 1:
             print(f"  dec step {it}: ce {float(loss):.4f}", flush=True)
