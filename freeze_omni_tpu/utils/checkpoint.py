@@ -337,10 +337,23 @@ def save_native(path: str, params) -> None:
 
 def load_native(path: str, like=None) -> dict:
     """Restore an orbax tree; `like` (an abstract/eager template) is optional
-    — without it the on-disk structure is restored as saved."""
+    — without it every leaf restores as host numpy. The numpy route is what
+    makes checkpoints PORTABLE: orbax bakes the saving platform's shardings
+    into the metadata, and a template-free StandardCheckpointer.restore
+    replays them verbatim — a TPU-saved checkpoint then refuses to load in a
+    CPU process ("Device TPU v5 lite0 was not found"). Host arrays feed jit
+    on any backend, so callers need no device awareness."""
+    import jax
+    import numpy as _np
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    if like is None:
-        return ckptr.restore(path)
-    return ckptr.restore(path, like)
+    if like is not None:
+        return ocp.StandardCheckpointer().restore(path, like)
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path)
+    tree = getattr(getattr(meta, "item_metadata", meta), "tree", None)
+    if tree is None:  # older orbax layouts expose the tree directly
+        tree = getattr(meta, "tree", meta)
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=_np.ndarray), tree)
+    return ckptr.restore(path, restore_args=restore_args)

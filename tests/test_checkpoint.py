@@ -280,6 +280,27 @@ class TestConversionStructure:
         jax.tree.map(lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)), params, restored)
 
+    def test_template_free_restore_is_host_numpy(self, tmp_path):
+        """Without a `like` template, load_native must restore HOST numpy
+        leaves, never replaying the shardings orbax baked in at save time —
+        that replay is what made a TPU-saved checkpoint unloadable in a CPU
+        process ('Device TPU v5 lite0 was not found in jax.local_devices()').
+        Cross-platform restore itself needs two platforms to exercise, but
+        numpy-leaf restore is the invariant that guarantees it."""
+        from freeze_omni_tpu.models import speech_decoder as sdm
+
+        cfg = SpeechDecoderConfig(idim=32, hidden=32, num_layers=2,
+                                  num_heads=2, ffn=64, codec_vocab=16,
+                                  max_kv_len=32)
+        params = sdm.init_params(jax.random.PRNGKey(1), cfg)
+        path = str(tmp_path / "ckpt_free")
+        ckpt.save_native(path, params)
+        restored = ckpt.load_native(path)
+        for leaf in jax.tree.leaves(restored):
+            assert isinstance(leaf, np.ndarray), type(leaf)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), b), params, restored)
+
 
 class TestSpeechDecoderLlamaParity:
     """The reference's AR speech decoder is built from transformers
