@@ -186,13 +186,27 @@ def make_gan_optimizers(lr: float = 2e-4):
 
 
 def gan_step(state: GanTrainState, cfg: CodecConfig, wav: jnp.ndarray,
-             gen_fn, gen_optimizer, disc_optimizer
+             gen_fn, gen_optimizer, disc_optimizer, adv_weight: float = 1.0
              ) -> Tuple[GanTrainState, dict]:
-    """One generator + one discriminator update. gen_fn(gen_params, wav) must
-    return the reconstructed waveform [B, 1, T] (encode->quantize->decode)."""
+    """One generator + one discriminator update. gen_fn(gen_params, wav)
+    returns the reconstructed waveform [B, 1, T] (encode->quantize->decode),
+    or a (waveform, aux_loss) pair — aux_loss is added to the generator
+    objective. That hook is how the VQ codebook/commitment terms reach the
+    update: the straight-through estimator routes reconstruction gradients
+    around the codebook, so WITHOUT an explicit codebook loss the codebooks
+    sit at random init forever and reconstruction plateaus (observed: mel L1
+    stuck ~8.3 over 2500 steps while every decode came out near-silent).
+    adv_weight scales adv+fm; 0.0 gives a pure-reconstruction warm phase
+    (standard VQ-GAN practice) so the generator learns signal before the
+    discriminators start pushing it around."""
+
+    def run_gen(gp):
+        out = gen_fn(gp, wav)
+        return out if isinstance(out, tuple) else (out, jnp.zeros(()))
 
     def d_loss_fn(dp):
-        fake = jax.lax.stop_gradient(gen_fn(state.gen_params, wav))
+        fake, _ = run_gen(state.gen_params)
+        fake = jax.lax.stop_gradient(fake)
         t = min(fake.shape[-1], wav.shape[-1])
         real_outs = run_discriminators(dp, wav[..., :t])
         fake_outs = run_discriminators(dp, fake[..., :t])
@@ -204,14 +218,15 @@ def gan_step(state: GanTrainState, cfg: CodecConfig, wav: jnp.ndarray,
     disc_params = optax.apply_updates(state.disc_params, d_updates)
 
     def g_loss_fn(gp):
-        fake = gen_fn(gp, wav)
+        fake, aux = run_gen(gp)
         t = min(fake.shape[-1], wav.shape[-1])
         real_outs = run_discriminators(disc_params, wav[..., :t])
         fake_outs = run_discriminators(disc_params, fake[..., :t])
         adv = generator_adv_loss(fake_outs)
         fm = feature_matching_loss(real_outs, fake_outs)
         mel = 45.0 * mel_l1_loss(wav[..., :t], fake[..., :t], cfg.sample_rate)
-        return adv + fm + mel, {"adv": adv, "fm": fm, "mel": mel}
+        return adv_weight * (adv + fm) + mel + aux, \
+            {"adv": adv, "fm": fm, "mel": mel, "aux": aux}
 
     (g_loss, parts), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
         state.gen_params)

@@ -431,14 +431,17 @@ def main():
                                       jax.lax.stop_gradient(feats),
                                       jax.lax.stop_gradient(gfeat))
         quant = codec_mod.quantizer_embed(gp["quantizer"], ccfg, codes)
-        # straight-through estimator + VQ losses ride the generator loss via
-        # a stop-grad mix (commitment pulls feats toward the codebook)
-        quant = feats + jax.lax.stop_gradient(quant - feats)
+        # the straight-through estimator routes reconstruction gradient
+        # around the codebook, so the codebook/commitment terms must reach
+        # the loss EXPLICITLY (gan_step aux) — without them the codebook
+        # never left random init and every decode came out near-silent
+        aux = gan.vq_losses(quant, feats)
+        st = feats + jax.lax.stop_gradient(quant - feats)
         B = wav.shape[0]
         gemb = codec_mod.quantizer_embed_gst(
             gp["quantizer"], ccfg,
             jnp.broadcast_to(gt_fixed, (B,) + gt_fixed.shape[1:]))
-        return codec_mod.generate(gp, ccfg, quant, gemb)
+        return codec_mod.generate(gp, ccfg, st, gemb), aux
 
     def wav_batch(r, B):
         seg = int((WORD_S + GAP_S) * sr_c)
@@ -450,13 +453,21 @@ def main():
             out[b, 0, : min(len(w), seg)] = w[:seg]
         return jnp.asarray(out)
 
+    # pure-reconstruction warm phase first (adv_weight 0: mel + VQ only),
+    # then the adversarial phase — joint-from-scratch let the discriminators
+    # crush a generator whose codebook input was still noise
+    warm_steps = args.codec_steps * 2 // 5
+    gan_warm_j = jax.jit(lambda s, w: gan.gan_step(s, ccfg, w, autoencode,
+                                                   g_opt, d_opt, 0.0))
     gan_step_j = jax.jit(lambda s, w: gan.gan_step(s, ccfg, w, autoencode,
                                                    g_opt, d_opt))
     for it in range(args.codec_steps):
         wav = wav_batch(rng, 4)
-        gstate, metrics = gan_step_j(gstate, wav)
+        stepf = gan_warm_j if it < warm_steps else gan_step_j
+        gstate, metrics = stepf(gstate, wav)
         if it % 100 == 0 or it == args.codec_steps - 1:
             print(f"  gan step {it}: mel {float(metrics['mel']):.4f} "
+                  f"vq {float(metrics['aux']):.4f} "
                   f"g {float(metrics['g_loss']):.3f} "
                   f"d {float(metrics['d_loss']):.3f}", flush=True)
     codec_params = gstate.gen_params
