@@ -15,6 +15,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..config import CodecConfig, FbankConfig
@@ -183,6 +184,60 @@ class GanTrainState(NamedTuple):
 
 def make_gan_optimizers(lr: float = 2e-4):
     return optax.adam(lr, b1=0.8, b2=0.99), optax.adam(lr, b1=0.8, b2=0.99)
+
+
+def reseed_dead_codes(gen_params: dict, cfg: CodecConfig,
+                      features: jnp.ndarray, rng: np.random.RandomState,
+                      noise: float = 1e-3) -> Tuple[dict, int]:
+    """Restart codebook entries no feature in `features` maps to.
+
+    K-means-style dead-code reinit (the standard VQ-GAN/SoundStream guard):
+    with a randomly initialized codebook most features fall to a handful of
+    entries; the codebook loss then drags those few toward the GLOBAL feature
+    mean while the rest never receive gradient, so the quantizer degenerates
+    to ~1 effective code and the decoder reconstructs the dataset-average
+    waveform. Reassigning unused entries to actual encoder outputs (plus a
+    little noise to split ties) keeps the codebook covering the feature
+    distribution while it moves. Host-side numpy: runs every N warm-phase
+    steps on a probe batch; tiny next to a training step.
+
+    features: [B, C, T] pre-quant encoder output. Returns (params, n_dead).
+    """
+    feats = np.asarray(jnp.swapaxes(features, 1, 2)).reshape(
+        -1, features.shape[1])  # [B*T, C]
+    G = cfg.n_code_groups
+    gd = features.shape[1] // G
+    cbs = gen_params["quantizer"]["codebooks"]
+    new_cbs = []
+    total_dead = 0
+    residual = feats.copy()
+    # each codebooks[r] is ONE stacked [G, n_codes, gd] array (codec.py:85-90)
+    # — mutate groups in place within the stack so the pytree structure (and
+    # with it the optimizer state) is preserved leaf-for-leaf
+    for r in range(cfg.residual_layers):
+        cb_r = np.array(cbs[r])
+        for g in range(G):
+            cb = cb_r[g]
+            x = residual[:, g * gd:(g + 1) * gd]
+            d = (x ** 2).sum(1)[:, None] + (cb ** 2).sum(1)[None] \
+                - 2.0 * x @ cb.T
+            idx = d.argmin(1)
+            used = np.zeros(cb.shape[0], bool)
+            used[np.unique(idx)] = True
+            dead = ~used
+            n_dead = int(dead.sum())
+            if n_dead:
+                picks = x[rng.randint(0, x.shape[0], n_dead)]
+                cb_r[g, dead] = picks + noise * rng.randn(
+                    n_dead, gd).astype(cb.dtype)
+                total_dead += n_dead
+            residual[:, g * gd:(g + 1) * gd] = x - cb_r[g][idx]
+        new_cbs.append(jnp.asarray(cb_r, dtype=cbs[r].dtype))
+    qp = dict(gen_params["quantizer"])
+    qp["codebooks"] = new_cbs
+    out = dict(gen_params)
+    out["quantizer"] = qp
+    return out, total_dead
 
 
 def gan_step(state: GanTrainState, cfg: CodecConfig, wav: jnp.ndarray,

@@ -417,7 +417,11 @@ def main():
     gen_params = codec_mod.init_params(jax.random.fold_in(key, 2), ccfg,
                                        with_encoder=True)
     disc_params = gan.init_discriminators(jax.random.fold_in(key, 3))
-    g_opt, d_opt = gan.make_gan_optimizers(2e-4)
+    # 2e-3, not HiFiGAN's production 2e-4: at tiny dims / few thousand steps
+    # the lower rate plateaus far above even the predict-the-mean solution
+    # (measured: single-waveform overfit stuck at mel 9.3 @2e-4 vs 4.5 and
+    # still falling @2e-3 after 1500 steps)
+    g_opt, d_opt = gan.make_gan_optimizers(2e-3)
     gstate = gan.GanTrainState(
         gen_params=gen_params, disc_params=disc_params,
         gen_opt=g_opt.init(gen_params), disc_opt=d_opt.init(disc_params),
@@ -461,10 +465,23 @@ def main():
                                                    g_opt, d_opt, 0.0))
     gan_step_j = jax.jit(lambda s, w: gan.gan_step(s, ccfg, w, autoencode,
                                                    g_opt, d_opt))
+    # dead-code restarts: codebooks init in a ±1/n_codes ball while encoder
+    # features are orders of magnitude larger, so without reseeding nearly
+    # every feature maps to ONE entry and the decoder can only reconstruct
+    # the dataset-average waveform (gan.reseed_dead_codes docstring)
+    feats_j = jax.jit(lambda gp, w: codec_mod.encode_features(gp, ccfg, w)[0])
     for it in range(args.codec_steps):
         wav = wav_batch(rng, 4)
         stepf = gan_warm_j if it < warm_steps else gan_step_j
         gstate, metrics = stepf(gstate, wav)
+        if it % 200 == 100 and it < args.codec_steps * 4 // 5:
+            probe = feats_j(gstate.gen_params, wav_batch(rng, 16))
+            reseeded, n_dead = gan.reseed_dead_codes(
+                gstate.gen_params, ccfg, probe, rng)
+            if n_dead:
+                gstate = gstate._replace(gen_params=reseeded)
+                print(f"  gan step {it}: reseeded {n_dead} dead codes",
+                      flush=True)
         if it % 100 == 0 or it == args.codec_steps - 1:
             print(f"  gan step {it}: mel {float(metrics['mel']):.4f} "
                   f"vq {float(metrics['aux']):.4f} "
