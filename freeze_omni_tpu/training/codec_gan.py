@@ -182,8 +182,19 @@ class GanTrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_gan_optimizers(lr: float = 2e-4):
-    return optax.adam(lr, b1=0.8, b2=0.99), optax.adam(lr, b1=0.8, b2=0.99)
+def make_gan_optimizers(lr: float = 2e-4, disc_lr: float | None = None,
+                        clip: float = 10.0):
+    """(generator, discriminator) optimizers. The two rates are separate
+    because the stable regions differ: at tiny dims the generator needs a
+    high rate to escape the predict-the-mean plateau, while the LSGAN
+    discriminator diverges there (observed at 2e-3: d-loss exploding to
+    ~2.6e6 within 200 adversarial steps, dragging mel from 170 back to 344).
+    Global-norm clipping bounds the one-step damage either loss can do."""
+    d_lr = lr if disc_lr is None else disc_lr
+    return (optax.chain(optax.clip_by_global_norm(clip),
+                        optax.adam(lr, b1=0.8, b2=0.99)),
+            optax.chain(optax.clip_by_global_norm(clip),
+                        optax.adam(d_lr, b1=0.8, b2=0.99)))
 
 
 def reseed_dead_codes(gen_params: dict, cfg: CodecConfig,

@@ -417,11 +417,13 @@ def main():
     gen_params = codec_mod.init_params(jax.random.fold_in(key, 2), ccfg,
                                        with_encoder=True)
     disc_params = gan.init_discriminators(jax.random.fold_in(key, 3))
-    # 2e-3, not HiFiGAN's production 2e-4: at tiny dims / few thousand steps
-    # the lower rate plateaus far above even the predict-the-mean solution
-    # (measured: single-waveform overfit stuck at mel 9.3 @2e-4 vs 4.5 and
-    # still falling @2e-3 after 1500 steps)
-    g_opt, d_opt = gan.make_gan_optimizers(2e-3)
+    # generator 2e-3, not HiFiGAN's production 2e-4: at tiny dims / few
+    # thousand steps the lower rate plateaus far above even the
+    # predict-the-mean solution (measured: single-waveform overfit stuck at
+    # mel 9.3 @2e-4 vs 4.5 and still falling @2e-3 after 1500 steps).
+    # Discriminator stays at 2e-4: at 2e-3 the LSGAN losses exploded within
+    # 200 adversarial steps and mel regressed 170 -> 344.
+    g_opt, d_opt = gan.make_gan_optimizers(2e-3, disc_lr=2e-4)
     gstate = gan.GanTrainState(
         gen_params=gen_params, disc_params=disc_params,
         gen_opt=g_opt.init(gen_params), disc_opt=d_opt.init(disc_params),
@@ -613,11 +615,49 @@ def main():
         "--model_path", out, "--manifest", os.path.join(out, "sentences.txt"),
         "--top_k", "1,2", "--max_tokens", "24"])
 
+    # codec-oracle CER: GROUND-TRUTH waveform -> trained codec encode/decode
+    # -> the shipped ASR. Needs the codec ENCODER, which the serving
+    # checkpoint deliberately drops, so only the trainer can compute it.
+    # It splits out_cer into its two failure modes: oracle ~ asr_cer means
+    # the codec is transparent and any out_cer excess is the AR speech
+    # decoder; oracle ~ 100% means the codec itself is unintelligible.
+    print("eval: codec oracle", flush=True)
+    from freeze_omni_tpu.bin.asr_eval import transcribe
+    from freeze_omni_tpu.frontend.chunker import OfflineChunker
+    from freeze_omni_tpu.frontend.wav import resample
+    from freeze_omni_tpu.pipeline import InferencePipeline
+    from freeze_omni_tpu.utils.factory import load_native_system
+    from freeze_omni_tpu.utils.metrics import corpus_score
+
+    cfg_n, ap_n, _tts_n, tok_n = load_native_system(out)
+    pl_n = InferencePipeline(cfg_n, params=ap_n, tokenizer=tok_n, seed=0)
+    chk_n = OfflineChunker(cfg_n.chunker)
+    roundtrip_j = jax.jit(lambda w: codec_mod.decode(
+        codec_params, ccfg, codec_mod.encode(codec_params, ccfg, w)[0],
+        jnp.broadcast_to(gt_fixed, (w.shape[0],) + gt_fixed.shape[1:])))
+    oracle_pairs = []
+    with open(os.path.join(out, "sentences.txt")) as f:
+        oracle_sents = [ln.strip() for ln in f if ln.strip()]
+    for i, sent in enumerate(oracle_sents):
+        w = render(sent.split(), sr_c)
+        n = ((len(w) + ccfg.upsample_rate - 1) // ccfg.upsample_rate) \
+            * ccfg.upsample_rate
+        w = np.pad(w, (0, n - len(w)))
+        rec = np.asarray(roundtrip_j(jnp.asarray(w[None, None, :])))[0, 0]
+        write_wav(os.path.join(wav_dir, f"oracle_{i:03d}.wav"),
+                  rec.astype(np.float32), sr_c)
+        hyp = transcribe(pl_n, chk_n, resample(rec, sr_c, SR_ASR),
+                         max_tokens=24)
+        oracle_pairs.append((sent, hyp))
+    oracle_cer = 100.0 * corpus_score(oracle_pairs, char_level=True)
+    print(f"codec oracle CER: {oracle_cer:.2f}%", flush=True)
+
     quality = {
         "asr_cer_pct": asr["value"],
         "qa_accuracy_pct": qa["value"],
         "out_cer_pct": ocer["value"],
         "out_cer_by_top_k": ocer["by_top_k"],
+        "codec_oracle_cer_pct": round(oracle_cer, 2),
         "chance": {"qa_accuracy_pct": 100.0 / len(WORDS),
                    "cer_pct": "~100 (random decodes share few chars)"},
         "world": {"n_words": len(WORDS), "word_s": WORD_S,
